@@ -1,0 +1,58 @@
+"""Engine configuration — pinned constants for deterministic builds.
+
+The reference declares per-collection settings in XML
+(core:ir.config.CollectionConfig / ir.settings.SchemaSetting [K per
+SURVEY.md §1]); we pin them in one frozen dataclass that is serialized
+into every build manifest so a resumed or merged build can verify it is
+operating under identical semantics (BM25 params, analyzer version,
+shard/bucket counts).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+
+ANALYZER_VERSION = "1.0.0"
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """All knobs that affect index bytes or scores.
+
+    k1/b are the BM25 constants mandated by BASELINE.json (Robertson
+    defaults, pinned: k1=1.2, b=0.75). ``num_shards`` is the number of
+    document shards per segment (the scatter-gather unit, mirroring the
+    reference's data-node partitioning of collections — SURVEY.md Q-6);
+    ``num_buckets`` is the term-hash bucket count used to batch posting
+    packing (amortizes pandas-group overhead and bounds per-task memory).
+    ``block_size`` is the posting block length for block-max metadata
+    (SURVEY.md I-9 / O-3).
+
+    At 100 TB scale, ``num_shards`` should be sized so one shard's docmap
+    (doc_id + dl, ~16 B/doc) fits comfortably in executor memory
+    (~1M docs/shard ⇒ 16 MB), and ``num_buckets`` so one term-bucket of
+    tf rows fits in a pandas frame (a few hundred MB).
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+    num_shards: int = 8
+    num_buckets: int = 32
+    block_size: int = 128
+    min_token_len: int = 1
+    max_token_len: int = 64
+    emit_original_compound: bool = False
+    stopwords: tuple[str, ...] = field(default_factory=tuple)
+    analyzer: str = "standard"
+    analyzer_version: str = ANALYZER_VERSION
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        d = dict(d)
+        if "stopwords" in d and d["stopwords"] is not None:
+            d["stopwords"] = tuple(d["stopwords"])
+        return cls(**d)

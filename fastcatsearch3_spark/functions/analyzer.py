@@ -1,0 +1,163 @@
+"""Analysis chain (SURVEY.md §2.H F-1..F-5, U-1).
+
+Reference capability being re-expressed: fastcatsearch3's pluggable
+per-index analyzers (core:ir.analysis.AnalyzerPool / AnalyzerFactory [K]),
+its standard delimiter analyzer (split non-alnum + lowercase, F-2), and a
+CJK bigram analyzer (Lucene-CJK-style overlapping character bigrams, F-3).
+F-4 (camelCase / snake_case / dotted code-identifier splitting) is our
+code-payload extension, documented as an adaptation in SURVEY.md.
+
+Design: ONE pure-pandas vectorized core (`tokenize_series`) shared by
+  * the Spark `pandas_udf` (Arrow-batched, no per-row Python rows —
+    BASELINE.json input_hint),
+  * the frozen pure-pandas BM25 oracle in tests/oracle.py,
+so index side, query side and oracle can never drift.
+
+Token grammar (one regex pass, order-preserving):
+  * ASCII runs ``[a-z0-9]+`` after camel-boundary spaces are injected and
+    the text is lowercased  — so ``parseIndexBuffer`` → parse, index,
+    buffer; ``merge_segment_file`` → merge, segment, file; ``a.b.C`` →
+    a, b, c; digits stay attached (``sha256`` is one token).
+  * CJK runs → overlapping character bigrams via a zero-width lookahead
+    group (run of length n ≥ 2 → n-1 bigrams); isolated single CJK char →
+    unigram.  Covers CJK Unified (+ext A), Hangul syllables, Hiragana,
+    Katakana.
+Post-filters (F-5): stopword drop, min/max token length.
+
+Analyzer registry (F-1/U-1): named analyzers → tokenizer callables; each
+gets a `pandas_udf("array<string>")` wrapper built on demand.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+from fastcatsearch3_spark.config import EngineConfig
+
+# CJK Unified Ideographs, Extension A, Hangul syllables, Hiragana, Katakana.
+_CJK = "一-鿿㐀-䶿가-힣぀-ゟ゠-ヿ"
+
+# camelCase boundaries: aB → "a B"; ABc → "A Bc" (HTTPServer → HTTP Server).
+_CAMEL1 = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
+_CAMEL2 = re.compile(r"(?<=[A-Z])(?=[A-Z][a-z])")
+
+# Single alternation, scanned left-to-right so token order is preserved:
+#   group 1: zero-width lookahead capturing an overlapping CJK bigram
+#   group 2: isolated CJK char (not part of a run of ≥2)
+#   group 3: ascii word run
+_TOKEN = re.compile(
+    rf"(?=([{_CJK}][{_CJK}]))|(?<![{_CJK}])([{_CJK}])(?![{_CJK}])|([a-z0-9]+)"
+)
+
+# Words to recognise a compound identifier (for emit_original_compound).
+_COMPOUND = re.compile(r"[A-Za-z0-9]*(?:[a-z0-9][A-Z]|[A-Za-z0-9]_[A-Za-z0-9])[A-Za-z0-9_]*")
+
+
+def _flatten_matches(matches: list[tuple[str, str, str]]) -> list[str]:
+    return [a or b or c for (a, b, c) in matches]
+
+
+def tokenize_series(
+    s: pd.Series,
+    *,
+    stopwords: frozenset[str] = frozenset(),
+    min_len: int = 1,
+    max_len: int = 64,
+    emit_original: bool = False,
+) -> pd.Series:
+    """Vectorized analysis chain: pd.Series[str] → pd.Series[list[str]].
+
+    All string work happens in pandas' C string paths (`str.replace`,
+    `str.lower`, `str.findall`); the only Python-level loop is the final
+    per-row flatten/filter over already-matched token lists.
+    """
+    s = s.fillna("").astype(str)
+    originals: pd.Series | None = None
+    if emit_original:
+        originals = s.str.findall(_COMPOUND).map(
+            lambda lst: [w.lower() for w in lst]
+        )
+    s = s.str.replace(_CAMEL1, " ", regex=True).str.replace(_CAMEL2, " ", regex=True)
+    s = s.str.lower()
+    toks = s.str.findall(_TOKEN).map(_flatten_matches)
+    if emit_original and originals is not None:
+        toks = pd.Series(
+            [t + o for t, o in zip(toks, originals)], index=toks.index
+        )
+    if stopwords or min_len > 1 or max_len:
+        def _filt(lst: list[str]) -> list[str]:
+            return [
+                t
+                for t in lst
+                if min_len <= len(t) <= max_len and t not in stopwords
+            ]
+
+        toks = toks.map(_filt)
+    return toks
+
+
+def tokenize_text(text: str, cfg: EngineConfig | None = None) -> list[str]:
+    """Single-string convenience used on the query side (driver, Q-2)."""
+    cfg = cfg or EngineConfig()
+    return tokenize_series(
+        pd.Series([text]),
+        stopwords=frozenset(cfg.stopwords),
+        min_len=cfg.min_token_len,
+        max_len=cfg.max_token_len,
+        emit_original=cfg.emit_original_compound,
+    ).iloc[0]
+
+
+# ---------------------------------------------------------------------------
+# Analyzer registry (F-1 / U-1): name → pd.Series tokenizer
+# ---------------------------------------------------------------------------
+
+def _standard(s: pd.Series, cfg: EngineConfig) -> pd.Series:
+    return tokenize_series(
+        s,
+        stopwords=frozenset(cfg.stopwords),
+        min_len=cfg.min_token_len,
+        max_len=cfg.max_token_len,
+        emit_original=cfg.emit_original_compound,
+    )
+
+
+def _whitespace(s: pd.Series, cfg: EngineConfig) -> pd.Series:
+    """Plain lowercase + whitespace split (the reference's simplest chain)."""
+    out = s.fillna("").astype(str).str.lower().str.split()
+    if cfg.stopwords:
+        sw = frozenset(cfg.stopwords)
+        out = out.map(lambda lst: [t for t in lst if t not in sw])
+    return out
+
+
+ANALYZERS = {
+    "standard": _standard,
+    "whitespace": _whitespace,
+}
+
+
+@lru_cache(maxsize=16)
+def _tokenize_udf_cached(cfg_key: tuple):
+    from pyspark.sql.functions import pandas_udf
+
+    cfg = EngineConfig.from_dict(dict(cfg_key))
+    fn = ANALYZERS[cfg.analyzer]
+
+    @pandas_udf("array<string>")
+    def analyze(content: pd.Series) -> pd.Series:
+        return fn(content, cfg)
+
+    return analyze
+
+
+def tokenize_udf(cfg: EngineConfig | None = None):
+    """Arrow-batched analyzer UDF: string column → array<string> (I-2)."""
+    cfg = cfg or EngineConfig()
+    d = cfg.to_dict()
+    d["stopwords"] = tuple(d["stopwords"])
+    return _tokenize_udf_cached(tuple(sorted(d.items())))
