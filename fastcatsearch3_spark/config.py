@@ -48,7 +48,10 @@ class EngineConfig:
     analyzer_version: str = ANALYZER_VERSION
 
     def to_dict(self) -> dict:
-        return asdict(self)
+        """JSON-stable dict (round-trips through manifests identically)."""
+        d = asdict(self)
+        d["stopwords"] = list(d["stopwords"])
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "EngineConfig":

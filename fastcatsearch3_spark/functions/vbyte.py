@@ -16,6 +16,7 @@ Posting blob layout, block-addressable for block-max WAND (O-3):
         n                    total entries
         nblocks              ceil(n / block_size)
         block_size
+        last_docno           docno of the final entry (accumulator sizing)
         block_first[nb]      first docno per block, delta-coded (abs first)
         block_maxtf[nb]      max tf per block            (WAND upper bound)
         block_mindl[nb]      min doc length per block    (WAND upper bound)
@@ -164,6 +165,7 @@ def segment_sums(vals: np.ndarray, seg_starts: np.ndarray, out_dtype=np.int64) -
 class PostingMeta:
     n: int
     block_size: int
+    last_docno: int
     block_first: np.ndarray   # absolute first docno per block (uint64)
     block_maxtf: np.ndarray   # uint64
     block_mindl: np.ndarray   # uint64
@@ -233,7 +235,7 @@ def encode_postings(
     bf_delta[1:] = block_first[1:] - block_first[:-1]
     meta_vals = np.concatenate(
         [
-            np.array([n, nb, bs], dtype=np.uint64),
+            np.array([n, nb, bs, d[-1]], dtype=np.uint64),
             bf_delta,
             block_maxtf,
             block_mindl,
@@ -246,13 +248,14 @@ def encode_postings(
 
 def decode_meta(blob: bytes | np.ndarray) -> PostingMeta:
     b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
-    head, consumed = vbyte_decode_prefix(b, 3)
-    n, nb, bs = int(head[0]), int(head[1]), int(head[2])
+    head, consumed = vbyte_decode_prefix(b, 4)
+    n, nb, bs, last = int(head[0]), int(head[1]), int(head[2]), int(head[3])
     rest, rest_bytes = vbyte_decode_prefix(b[consumed:], 4 * nb)
     bf = np.cumsum(rest[:nb].astype(np.uint64))
     return PostingMeta(
         n=n,
         block_size=bs,
+        last_docno=last,
         block_first=bf,
         block_maxtf=rest[nb : 2 * nb],
         block_mindl=rest[2 * nb : 3 * nb],

@@ -1,0 +1,72 @@
+"""IndexStore — the on-disk layout of a built index (SURVEY.md §1.2).
+
+    <root>/
+      corpus/                     normalized source rows (optional copy)
+      docmap/segment_id=N/        (shard, docno, doc_id, dl, content_sha256)
+      postings/segment_id=N/      (shard, term, df, cf, postings)
+      lexicon/                    (term, df, cf)      — global, merged
+      deletes/                    (doc_id, segment_id) — tombstones (P-7)
+      manifest/segment-N.json     per-segment lineage + metrics (I-8)
+      stats.json                  n_docs, avgdl, config
+
+On a cluster <root> is shared storage (S3/HDFS/Iceberg warehouse); the
+reference instead copies segment files between nodes over netty
+(server:org.fastcatsearch.transport [K]) — shared storage + Spark shuffle
+make that operator unnecessary (SURVEY.md S-8).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fastcatsearch3_spark.config import EngineConfig
+
+
+class IndexStore:
+    def __init__(self, root: str):
+        self.root = str(root)
+
+    def _p(self, *parts: str) -> str:
+        return str(Path(self.root, *parts))
+
+    def stats(self) -> dict:
+        return json.loads(Path(self._p("stats.json")).read_text())
+
+    def config(self) -> EngineConfig:
+        return EngineConfig.from_dict(self.stats()["config"])
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._p("postings"))
+
+    def docmap(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._p("docmap"))
+
+    def lexicon(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._p("lexicon"))
+
+    def corpus(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._p("corpus"))
+
+    def has_corpus(self) -> bool:
+        return Path(self._p("corpus")).exists()
+
+    def has_deletes(self) -> bool:
+        return Path(self._p("deletes")).exists()
+
+    def deletes(self, spark: SparkSession) -> DataFrame | None:
+        if not self.has_deletes():
+            return None
+        return spark.read.parquet(self._p("deletes"))
+
+    def segments(self) -> list[int]:
+        base = Path(self._p("postings"))
+        if not base.exists():
+            return []
+        return sorted(
+            int(p.name.split("=", 1)[1])
+            for p in base.iterdir()
+            if p.is_dir() and p.name.startswith("segment_id=")
+        )

@@ -1,0 +1,273 @@
+"""BM25 scoring kernels (SURVEY.md U-5, Q-4, O-3) — pure numpy.
+
+Re-expresses the reference's clause-tree evaluation
+(core:ir.search.clause.{And,Or,Not}OperatedClause doc-at-a-time loop [K])
+as vectorized term-at-a-time accumulation over decoded posting blocks,
+with two modes:
+
+  * "taat"  — exhaustive term-at-a-time (the correctness baseline; what
+    the reference effectively computes, every posting scored);
+  * "bmw"   — block-max pruned evaluation (BASELINE.json: "block-max WAND
+    pruning"). OR queries run MaxScore with block-max refinement: terms
+    are processed in upper-bound-descending order; once the summed upper
+    bounds of the remaining terms cannot lift an unseen document past the
+    current k-th accumulated score θ, those terms stop being decoded in
+    full and are only *probed* — block metadata locates (searchsorted on
+    block-first-docnos) and decodes just the blocks containing still-live
+    candidates. AND queries intersect doc-at-a-time starting from the
+    rarest term, skipping whole blocks of the longer lists that cannot
+    overlap the candidate set (the skip-pointer walk fastcatsearch does
+    with its zipper AND, done blockwise).
+
+Safety argument for the pruning (tested rank-identical vs "taat"):
+θ is the k-th largest *accumulated-so-far* score, which only grows, so it
+is always a lower bound of the final k-th score. A document skipped by a
+probe satisfies acc + Σ remaining-term-UBs < θ ≤ final k-th, hence its
+true score is strictly below the final k-th and it can neither enter the
+top-k nor be reported with a wrong (partial) score; conversely every true
+top-k document passes every probe test, so its score is exact.
+
+BM25 (k1=1.2, b=0.75 pinned in EngineConfig; BASELINE.md):
+    idf(t)        = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(t, d)   = idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*dl/avgdl))
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fastcatsearch3_spark.functions.vbyte import (
+    PostingMeta,
+    decode_blocks,
+    decode_meta,
+    decode_postings,
+)
+
+
+def bm25_idf(n_docs: int, df: np.ndarray | int) -> np.ndarray | float:
+    return np.log(1.0 + (n_docs - np.asarray(df, dtype=np.float64) + 0.5) / (np.asarray(df, dtype=np.float64) + 0.5))
+
+
+def bm25_tf_norm(
+    tf: np.ndarray, dl: np.ndarray, k1: float, b: float, avgdl: float
+) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+@dataclass
+class TermPostings:
+    """One query term's posting blob within a (segment, shard) group."""
+
+    term: str
+    idf: float
+    blob: bytes
+    meta: PostingMeta = field(init=False)
+
+    def __post_init__(self):
+        self.meta = decode_meta(self.blob)
+
+    def upper_bound(self, k1: float, b: float, avgdl: float) -> float:
+        """idf × max over blocks of tf_norm(max_tf, min_dl) — valid because
+        tf_norm is increasing in tf and decreasing in dl."""
+        ub = bm25_tf_norm(
+            self.meta.block_maxtf, self.meta.block_mindl, k1, b, avgdl
+        )
+        return float(self.idf * ub.max())
+
+    def block_upper_bounds(self, k1: float, b: float, avgdl: float) -> np.ndarray:
+        return self.idf * bm25_tf_norm(
+            self.meta.block_maxtf, self.meta.block_mindl, k1, b, avgdl
+        )
+
+
+def _blocks_containing(meta: PostingMeta, docnos: np.ndarray) -> np.ndarray:
+    """Indices of blocks whose docno range may contain any of ``docnos``
+    (sorted). The skip-pointer walk, vectorized."""
+    if docnos.size == 0 or meta.nblocks == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.searchsorted(meta.block_first, docnos, side="right") - 1
+    idx = idx[idx >= 0]
+    return np.unique(idx)
+
+
+def _probe(
+    tp: TermPostings, cand: np.ndarray, k1: float, b: float, avgdl: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact contributions of ``tp`` for the sorted candidate docnos.
+    Returns (mask over cand of membership, contribution where member)."""
+    blocks = _blocks_containing(tp.meta, cand)
+    if blocks.size == 0:
+        return np.zeros(cand.size, dtype=bool), np.zeros(0)
+    d, t, l = decode_blocks(tp.blob, tp.meta, blocks)
+    pos = np.searchsorted(d, cand)
+    ok = pos < d.size
+    member = np.zeros(cand.size, dtype=bool)
+    member[ok] = d[pos[ok]] == cand[ok]
+    contrib = tp.idf * bm25_tf_norm(t[pos[member]], l[pos[member]], k1, b, avgdl)
+    return member, contrib
+
+
+def _topk(scores: np.ndarray, docnos: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k by (score desc, docno asc); deterministic."""
+    if scores.size == 0:
+        return docnos[:0], scores[:0]
+    k = min(k, scores.size)
+    if scores.size > 4 * k:
+        part = np.argpartition(-scores, k - 1)[: max(k * 2, k)]
+        # keep enough to resolve ties at the boundary deterministically:
+        kth = scores[part[np.argsort(-scores[part], kind="mergesort")[k - 1]]]
+        keep = np.nonzero(scores >= kth)[0]
+    else:
+        keep = np.arange(scores.size)
+    order = np.lexsort((docnos[keep], -scores[keep]))[:k]
+    sel = keep[order]
+    return docnos[sel], scores[sel]
+
+
+def score_group(
+    terms: list[TermPostings],
+    *,
+    n_candidates_hint: int | None = None,
+    k: int,
+    op: str = "OR",
+    mode: str = "bmw",
+    k1: float,
+    b: float,
+    avgdl: float,
+    not_terms: list[TermPostings] | None = None,
+    allow_docnos: np.ndarray | None = None,
+    deny_docnos: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score one (segment, shard) group. Returns (docnos, scores) of the
+    local top-k, score-desc / docno-asc ordered.
+
+    ``allow_docnos`` / ``deny_docnos`` implement filter pushdown into the
+    kernel (P-2..P-5 predicates resolved to shard-local docno sets) and
+    the delete-set mask (P-7): filters must apply *before* top-k selection
+    or excluded docs would occupy result slots."""
+    not_terms = not_terms or []
+    if not terms:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0)
+    if op == "AND" and mode == "bmw":
+        docnos, scores = _score_and_bmw(terms, k1, b, avgdl)
+    elif mode == "bmw" and op == "OR":
+        docnos, scores = _score_or_maxscore(
+            terms, k, k1, b, avgdl,
+            unlimited=(allow_docnos is not None or deny_docnos is not None
+                       or bool(not_terms)),
+        )
+    else:
+        docnos, scores = _score_taat(terms, op, k1, b, avgdl)
+    # NOT clause (J-4) + filters (P-*) + deletes (P-7)
+    if not_terms or allow_docnos is not None or deny_docnos is not None:
+        keep = np.ones(docnos.size, dtype=bool)
+        for nt in not_terms:
+            member, _ = _probe(nt, docnos, k1, b, avgdl)
+            keep &= ~member
+        if allow_docnos is not None:
+            pos = np.searchsorted(allow_docnos, docnos)
+            ok = pos < allow_docnos.size
+            m = np.zeros(docnos.size, dtype=bool)
+            m[ok] = allow_docnos[pos[ok]] == docnos[ok]
+            keep &= m
+        if deny_docnos is not None:
+            pos = np.searchsorted(deny_docnos, docnos)
+            ok = pos < deny_docnos.size
+            m = np.zeros(docnos.size, dtype=bool)
+            m[ok] = deny_docnos[pos[ok]] == docnos[ok]
+            keep &= ~m
+        docnos, scores = docnos[keep], scores[keep]
+    return _topk(scores, docnos, k)
+
+
+def _score_taat(
+    terms: list[TermPostings], op: str, k1: float, b: float, avgdl: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive TAAT over a dense shard-local accumulator. Terms are
+    accumulated in sorted-term order for deterministic float summation."""
+    size = 0
+    decoded = []
+    for tp in sorted(terms, key=lambda t: t.term):
+        d, t, l = decode_postings(tp.blob, tp.meta)
+        decoded.append((tp, d.astype(np.int64), t, l))
+        size = max(size, int(d[-1]) + 1)
+    acc = np.zeros(size, dtype=np.float64)
+    hits = np.zeros(size, dtype=np.int32)
+    for tp, d, t, l in decoded:
+        acc[d] += tp.idf * bm25_tf_norm(t, l, k1, b, avgdl)
+        hits[d] += 1
+    need = len(terms) if op == "AND" else 1
+    cand = np.nonzero(hits >= need)[0]
+    return cand.astype(np.uint64), acc[cand]
+
+
+def _score_and_bmw(
+    terms: list[TermPostings], k1: float, b: float, avgdl: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Intersection starting from the rarest term; longer lists are only
+    decoded blockwise where they can overlap the shrinking candidate set."""
+    order = sorted(terms, key=lambda t: (t.meta.n, t.term))
+    lead = order[0]
+    d, t, l = decode_postings(lead.blob, lead.meta)
+    cand = d.astype(np.int64)
+    score = lead.idf * bm25_tf_norm(t, l, k1, b, avgdl)
+    for tp in order[1:]:
+        if cand.size == 0:
+            break
+        member, contrib = _probe(tp, cand.astype(np.uint64), k1, b, avgdl)
+        cand = cand[member]
+        score = score[member] + contrib
+    return cand.astype(np.uint64), score
+
+
+def _score_or_maxscore(
+    terms: list[TermPostings],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    unlimited: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MaxScore with block-max probes (module docstring has the safety
+    argument). With ``unlimited`` (post-filters pending downstream) the
+    pruning is disabled — a filter may eliminate top docs, so every match
+    must be scored."""
+    ubs = [tp.upper_bound(k1, b, avgdl) for tp in terms]
+    order = np.argsort(-np.asarray(ubs), kind="mergesort")
+    terms = [terms[i] for i in order]
+    ubs = [ubs[i] for i in order]
+    suffix_ub = np.concatenate((np.cumsum(np.asarray(ubs)[::-1])[::-1], [0.0]))
+
+    size = 0
+    for tp in terms:
+        size = max(size, tp.meta.last_docno + 1)
+    acc = np.zeros(size, dtype=np.float64)
+    present = np.zeros(size, dtype=bool)
+    theta = -np.inf
+
+    for i, tp in enumerate(terms):
+        rem = suffix_ub[i]  # this term + all later could add at most `rem`
+        if unlimited or i == 0 or not np.isfinite(theta) or theta < rem:
+            d, t, l = decode_postings(tp.blob, tp.meta)
+            dn = d.astype(np.int64)
+            acc[dn] += tp.idf * bm25_tf_norm(t, l, k1, b, avgdl)
+            present[dn] = True
+        else:
+            live = np.nonzero(present)[0]
+            live = live[acc[live] + rem >= theta]
+            if live.size == 0:
+                continue
+            member, contrib = _probe(tp, live.astype(np.uint64), k1, b, avgdl)
+            acc[live[member]] += contrib
+        if not unlimited:
+            pres_scores = acc[present]
+            if pres_scores.size >= k:
+                theta = np.partition(pres_scores, pres_scores.size - k)[
+                    pres_scores.size - k
+                ]
+    cand = np.nonzero(present)[0]
+    return cand.astype(np.uint64), acc[cand]

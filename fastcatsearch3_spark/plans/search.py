@@ -1,0 +1,235 @@
+"""Query serving over the packed index (SURVEY.md §3.1, Q-3..Q-6).
+
+Reference read path: SearchAction → Query tree → per-segment
+SegmentSearcher doc-at-a-time clause evaluation → per-node top-k →
+cluster merge (server:…job.ClusterSearchJob [K]). Spark mapping:
+
+  Q-3  candidate fetch: postings scan filtered to the analyzed query
+       terms — an `isin` predicate pushed to Parquet (bloom filter on
+       `term` set at write time), NOT a join, so only matching row-groups
+       are read;
+  Q-4  scoring: applyInPandas kernel per (segment_id, shard) group —
+       every group holds all of its docs' postings for all query terms,
+       so AND/OR/NOT and block-max pruning are shard-local and exact;
+  Q-6  scatter-gather: each group emits its local top-k; the global
+       orderBy(score desc, doc_id asc).limit(k) compiles to Spark's
+       TakeOrderedAndProject — the same partial/final top-k merge the
+       reference's ClusterSearchJob hand-rolls over netty;
+  Q-5  hydrate: the ≤ k×groups surviving hits are joined (broadcast)
+       back to docmap for doc_ids, then optionally to the corpus for
+       stored fields.
+
+Filters/deletes (P-2..P-7) resolve to shard-local docno sets cogrouped
+into the kernel so exclusion happens BEFORE top-k selection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.plans.query import ParsedQuery, parse_query
+from fastcatsearch3_spark.plans.scoring import TermPostings, bm25_idf, score_group
+
+KERNEL_SCHEMA = "segment_id int, shard int, docno bigint, score double"
+
+
+def _make_kernel(
+    qidf: dict[str, float],
+    not_terms: set[str],
+    *,
+    k: int,
+    op: str,
+    mode: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+    n_required: int,
+    with_mask: bool,
+    allow_active: bool,
+):
+    """Build the per-(segment, shard) scoring function (U-5)."""
+
+    _EMPTY = pd.DataFrame(
+        {
+            "segment_id": pd.Series([], dtype="int32"),
+            "shard": pd.Series([], dtype="int32"),
+            "docno": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def score_rows(pdf: pd.DataFrame, mask_pdf: pd.DataFrame | None) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return _EMPTY
+        seg = int(pdf["segment_id"].iloc[0])
+        shard = int(pdf["shard"].iloc[0])
+        pos_tps, neg_tps = [], []
+        for term, blob in zip(pdf["term"], pdf["postings"]):
+            tp = TermPostings(term=term, idf=qidf.get(term, 0.0), blob=bytes(blob))
+            (neg_tps if term in not_terms else pos_tps).append(tp)
+        if op == "AND" and len(pos_tps) < n_required:
+            return _EMPTY  # some required term absent in this shard → no hits
+        if not pos_tps:
+            return _EMPTY
+        allow = deny = None
+        if allow_active:
+            # an allow-filter is in force: an empty allow set for this
+            # shard means nothing here passes the filter
+            a = (
+                mask_pdf.loc[mask_pdf["kind"] == 1, "docno"].to_numpy(np.int64)
+                if mask_pdf is not None and len(mask_pdf)
+                else np.zeros(0, dtype=np.int64)
+            )
+            allow = np.sort(a).astype(np.uint64)
+        if mask_pdf is not None and len(mask_pdf):
+            d = mask_pdf.loc[mask_pdf["kind"] == -1, "docno"].to_numpy(np.int64)
+            if d.size:
+                deny = np.sort(d).astype(np.uint64)
+        docnos, scores = score_group(
+            pos_tps,
+            k=k,
+            op=op,
+            mode=mode,
+            k1=k1,
+            b=b,
+            avgdl=avgdl,
+            not_terms=neg_tps,
+            allow_docnos=allow,
+            deny_docnos=deny,
+        )
+        return pd.DataFrame(
+            {
+                "segment_id": np.full(docnos.size, seg, dtype=np.int32),
+                "shard": np.full(docnos.size, shard, dtype=np.int32),
+                "docno": docnos.astype(np.int64),
+                "score": scores,
+            }
+        )
+
+    if with_mask:
+        def cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            return score_rows(left, right)
+
+        return cogrouped
+
+    def grouped(pdf: pd.DataFrame) -> pd.DataFrame:
+        return score_rows(pdf, None)
+
+    return grouped
+
+
+def search_index(
+    spark: SparkSession,
+    store,  # fastcatsearch3_spark.index.IndexStore
+    query: str | ParsedQuery,
+    k: int = 10,
+    mode: str = "bmw",
+    allow_doc_ids: DataFrame | None = None,
+    apply_deletes: bool = True,
+    hydrate: bool = False,
+    corpus_df: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 search. Returns (doc_id, score) ordered by
+    (score desc, doc_id asc); with ``hydrate``, stored corpus fields too."""
+    cfg = store.config()
+    pq = parse_query(query, cfg) if isinstance(query, str) else query
+    stats = store.stats()
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    all_terms = list(dict.fromkeys(pq.terms + pq.not_terms))
+    if not pq.terms or n_docs == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    lex = (
+        store.lexicon(spark)
+        .where(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    )
+    dfmap = {r["term"]: r["df"] for r in lex}
+    missing = [t for t in pq.terms if t not in dfmap]
+    if pq.op == "AND" and missing:
+        return spark.createDataFrame([], "doc_id long, score double")
+    terms = [t for t in pq.terms if t in dfmap]
+    not_terms = [t for t in pq.not_terms if t in dfmap]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qidf = {t: float(bm25_idf(n_docs, dfmap[t])) for t in terms}
+
+    fetch_terms = terms + not_terms
+    cand = store.postings(spark).where(F.col("term").isin(fetch_terms))
+
+    deletes = store.deletes(spark) if apply_deletes else None
+    masks = []
+    if allow_doc_ids is not None:
+        allowed = (
+            store.docmap(spark)
+            .join(allow_doc_ids.select("doc_id"), "doc_id")
+            .select("segment_id", "shard", "docno", F.lit(1).alias("kind"))
+        )
+        masks.append(allowed)
+    if deletes is not None:
+        denied = (
+            store.docmap(spark)
+            .join(deletes.select("doc_id"), "doc_id")
+            .select("segment_id", "shard", "docno", F.lit(-1).alias("kind"))
+        )
+        masks.append(denied)
+
+    kernel = _make_kernel(
+        qidf,
+        set(not_terms),
+        k=k,
+        op=pq.op,
+        mode=mode,
+        k1=cfg.k1,
+        b=cfg.b,
+        avgdl=avgdl,
+        n_required=len(terms),
+        with_mask=bool(masks),
+        allow_active=allow_doc_ids is not None,
+    )
+    if masks:
+        mask_df = masks[0]
+        for m in masks[1:]:
+            mask_df = mask_df.unionByName(m)
+        hits = (
+            cand.groupBy("segment_id", "shard")
+            .cogroup(mask_df.groupBy("segment_id", "shard"))
+            .applyInPandas(kernel, KERNEL_SCHEMA)
+        )
+    else:
+        hits = cand.groupBy("segment_id", "shard").applyInPandas(
+            kernel, KERNEL_SCHEMA
+        )
+
+    # Q-5 hydrate docnos → doc_ids: hits ≤ k per group, broadcast them.
+    dm = store.docmap(spark).select("segment_id", "shard", "docno", "doc_id")
+    out = (
+        dm.join(F.broadcast(hits), ["segment_id", "shard", "docno"])
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    if hydrate:
+        if corpus_df is not None:
+            corpus = corpus_df
+        elif store.has_corpus():
+            corpus = store.corpus(spark)
+        else:
+            raise ValueError(
+                "hydrate=True needs stored fields: pass corpus_df= or keep a "
+                "corpus/ copy in the index root (the index itself stores only "
+                "doc_ids — SURVEY.md Q-5)"
+            )
+        out = (
+            corpus.join(F.broadcast(out), "doc_id")
+            .select("doc_id", "score", "repo", "path", "commit", "lang", "content")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return out

@@ -1,0 +1,108 @@
+"""Pure-DataFrame BM25 (SURVEY.md §7 M1) — the declarative scoring path.
+
+Expresses the whole BM25 pipeline as stock DataFrame algebra (joins +
+aggregations, everything inside Catalyst/whole-stage-codegen except the
+analyzer UDF), with NO packed postings and NO custom kernel. Two jobs:
+
+  1. the M1 correctness baseline — the packed/kernel path in
+     plans/search.py must be rank-identical to this (pytest);
+  2. the SQL-expressible face the driver's DuckDB oracle can mirror
+     (__spark_entry__.oracle_sql).
+
+This is also exactly the plan shape Catalyst would pick on its own:
+tf/df aggregations are partial+final hash aggs, the query-term restriction
+is a pushed-down isin, the tiny per-term stats join is a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.operators.build import term_counts_udf
+
+
+def tf_table(corpus: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """(doc_id, dl, term, tf) — the unpacked posting relation (I-3's
+    map-side output as a plain DataFrame)."""
+    cfg = cfg or EngineConfig()
+    tc = term_counts_udf(cfg)
+    return (
+        corpus.withColumn("tc", tc(F.col("content")))
+        .withColumn("dl", F.expr("aggregate(map_values(tc), 0L, (a, x) -> a + x)"))
+        .select("doc_id", "dl", F.explode("tc").alias("term", "tf"))
+    )
+
+
+def doclens(corpus: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """(doc_id, dl) via size of the analyzed token stream (A-6)."""
+    tf = tf_table(corpus, cfg)
+    return tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def lexicon_df(corpus: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """(term, df, cf) directly from the corpus (I-7 / A-5)."""
+    tf = tf_table(corpus, cfg)
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    op: str = "AND",
+    cfg: EngineConfig | None = None,
+    round_score: int | None = 4,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 as pure DataFrame algebra over the unpacked tf relation.
+
+    Plan: tf (scan+agg) ⋈ broadcast(query terms) ⋈ broadcast(per-term df)
+    ⨯ broadcast(corpus stats) → per-(doc,term) partial score →
+    groupBy(doc_id) sum → AND gate (count(term) = |terms|) →
+    TakeOrderedAndProject(k).
+    """
+    cfg = cfg or EngineConfig()
+    if not terms:
+        raise ValueError("empty term list")
+    terms = list(dict.fromkeys(terms))
+    tf = tf if tf is not None else tf_table(corpus, cfg)
+
+    stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.where(F.col("term").isin(terms))
+    dfreq = qtf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * F.col("tf")
+            * (cfg.k1 + 1.0)
+            / (
+                F.col("tf")
+                + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("partial").alias("score"), F.count("term").alias("nt")
+    )
+    if op == "AND":
+        agg = agg.where(F.col("nt") == len(terms))
+    out = agg.select(
+        "doc_id",
+        (F.round("score", round_score) if round_score else F.col("score")).alias(
+            "score"
+        ),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

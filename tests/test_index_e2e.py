@@ -1,0 +1,145 @@
+"""End-to-end: ingest → build → packed search vs SQL path vs pandas oracle
+(SURVEY.md §5.2 layers 2-5, §7 M1/M3/M4)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.index import IndexStore
+from fastcatsearch3_spark.operators import build as B
+from fastcatsearch3_spark.operators import ingest
+from fastcatsearch3_spark.plans import sql_bm25
+from fastcatsearch3_spark.plans.search import search_index
+
+from oracle import bm25_topk_oracle
+
+CFG = EngineConfig(num_shards=4, num_buckets=8, block_size=64)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return ingest.load_documents(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def store(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("index"))
+    B.build_index(spark, corpus, root, CFG, n_segments=1)
+    return IndexStore(root)
+
+
+@pytest.fixture(scope="module")
+def docs_pd(corpus):
+    return corpus.select("doc_id", "content").toPandas()
+
+
+QUERIES = [
+    ("spark join", "AND"),
+    ("spark join", "OR"),
+    ("merge", "AND"),
+    ("window hash scan", "OR"),
+    ("window hash scan", "AND"),
+    ("the", "AND"),          # hottest term
+    ("zzz_no_such_term", "AND"),
+    ("spark zzz_no_such_term", "AND"),
+    ("spark zzz_no_such_term", "OR"),
+]
+
+
+@pytest.mark.parametrize("text,op", QUERIES)
+@pytest.mark.parametrize("mode", ["taat", "bmw"])
+def test_search_matches_oracle(spark, store, docs_pd, text, op, mode):
+    from fastcatsearch3_spark.plans.query import ParsedQuery
+    from fastcatsearch3_spark.functions.analyzer import tokenize_text
+
+    terms = []
+    for w in text.split():
+        terms.extend(tokenize_text(w, CFG))
+    pq = ParsedQuery(terms=terms, op=op)
+    got = search_index(spark, store, pq, k=10, mode=mode).toPandas()
+    want = bm25_topk_oracle(docs_pd, terms, k=10, op=op, cfg=CFG)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), (text, op, mode)
+    if len(want):
+        pd.testing.assert_series_equal(
+            got["score"], want["score"], atol=1e-6, check_exact=False
+        )
+
+
+@pytest.mark.parametrize("text,op", [("spark join", "AND"), ("window hash", "OR")])
+def test_sql_path_matches_oracle(spark, corpus, docs_pd, text, op):
+    terms = text.split()
+    got = sql_bm25.bm25_topk(corpus, terms, k=10, op=op, cfg=CFG, round_score=None).toPandas()
+    want = bm25_topk_oracle(docs_pd, terms, k=10, op=op, cfg=CFG)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    pd.testing.assert_series_equal(
+        got["score"], want["score"], atol=1e-6, check_exact=False
+    )
+
+
+def test_not_clause(spark, store, docs_pd):
+    from fastcatsearch3_spark.plans.query import parse_query
+
+    pq = parse_query("spark -join", CFG)
+    assert pq.terms == ["spark"] and pq.not_terms == ["join"]
+    got = search_index(spark, store, pq, k=10).toPandas()
+    want = bm25_topk_oracle(docs_pd, ["spark"], k=10, not_terms=["join"], cfg=CFG)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_filtered_search(spark, store, corpus, docs_pd):
+    allowed_df = corpus.where(F.col("lang") == "en").select("doc_id")
+    allowed = {r["doc_id"] for r in allowed_df.collect()}
+    got = search_index(
+        spark, store, "spark join", k=10, allow_doc_ids=allowed_df
+    ).toPandas()
+    want = bm25_topk_oracle(
+        docs_pd, ["spark", "join"], k=10, op="AND", allow_doc_ids=allowed, cfg=CFG
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert set(got["doc_id"]) <= allowed
+
+
+def test_sha256_invariant_and_manifest(store, corpus):
+    m = B.read_manifest(store.root, 0)
+    assert m["status"] == "complete"
+    assert m["n_docs"] == corpus.count()
+    d = ingest.sha256_digest(corpus)
+    assert m["sha_xor15"] == d["xor15"]
+    assert m["metrics"]["docs_per_sec"] is None or m["metrics"]["docs_per_sec"] > 0
+
+
+def test_resume_skips_complete_segments(spark, corpus, tmp_path):
+    root = str(tmp_path / "idx")
+    r1 = B.build_index(spark, corpus, root, CFG, n_segments=2)
+    assert sorted(r1["built"]) == [0, 1]
+    # simulate a killed build: segment 1's manifest lost → only it rebuilds
+    B.manifest_path(root, 1).unlink()
+    r2 = B.build_index(spark, corpus, root, CFG, n_segments=2)
+    assert r2["skipped"] == [0] and r2["built"] == [1]
+    # identical lexicon after resume
+    lex1 = (
+        IndexStore(root).lexicon(spark).orderBy("term").toPandas()
+    )
+    # config change invalidates completeness
+    cfg2 = EngineConfig(num_shards=4, num_buckets=8, block_size=32)
+    assert not B.segment_complete(root, 0, cfg2)
+    assert B.segment_complete(root, 0, CFG)
+    assert lex1["df"].sum() > 0
+
+
+def test_multi_segment_search_matches_single(spark, corpus, docs_pd, tmp_path):
+    root = str(tmp_path / "idx2")
+    B.build_index(spark, corpus, root, CFG, n_segments=3)
+    store2 = IndexStore(root)
+    got = search_index(spark, store2, "spark join", k=10).toPandas()
+    want = bm25_topk_oracle(docs_pd, ["spark", "join"], k=10, op="AND", cfg=CFG)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    pd.testing.assert_series_equal(
+        got["score"], want["score"], atol=1e-6, check_exact=False
+    )

@@ -1,0 +1,169 @@
+"""Kernel correctness: bmw pruning must be rank-identical to exhaustive
+taat, and both must match an independent brute-force (SURVEY.md §5.2,
+§7 M6 'assert pruned ≡ unpruned top-k')."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fastcatsearch3_spark.functions.vbyte import encode_postings
+from fastcatsearch3_spark.plans.scoring import (
+    TermPostings,
+    bm25_idf,
+    bm25_tf_norm,
+    score_group,
+)
+
+K1, B = 1.2, 0.75
+
+
+def make_corpus(rng, n_docs=3000, n_terms=8, zipf_hot=True):
+    """Random per-term postings over docnos [0, n_docs); returns
+    (terms, dense tf matrix, dls)."""
+    dls = rng.integers(5, 500, size=n_docs).astype(np.int64)
+    mat = np.zeros((n_terms, n_docs), dtype=np.int64)
+    for t in range(n_terms):
+        density = 0.6 if (zipf_hot and t == 0) else rng.uniform(0.01, 0.2)
+        mask = rng.random(n_docs) < density
+        mat[t, mask] = rng.integers(1, 20, size=int(mask.sum()))
+    return mat, dls
+
+
+def build_tps(mat, dls, n_docs_total, block_size=64):
+    tps = []
+    for t in range(mat.shape[0]):
+        docnos = np.nonzero(mat[t])[0].astype(np.uint64)
+        if docnos.size == 0:
+            continue
+        tfs = mat[t, docnos.astype(np.int64)].astype(np.uint64)
+        dl = dls[docnos.astype(np.int64)].astype(np.uint64)
+        blob = encode_postings(docnos, tfs, dl, block_size=block_size)
+        df = int(docnos.size)
+        tps.append(
+            TermPostings(
+                term=f"t{t}", idf=float(bm25_idf(n_docs_total, df)), blob=blob
+            )
+        )
+    return tps
+
+
+def brute_force(mat, dls, tps_idx, avgdl, n_docs_total, op="OR"):
+    """Independent dense scoring."""
+    n_docs = mat.shape[1]
+    acc = np.zeros(n_docs)
+    hits = np.zeros(n_docs, dtype=int)
+    for t in tps_idx:
+        row = mat[t]
+        present = row > 0
+        df = int(present.sum())
+        if df == 0:
+            continue
+        idf = bm25_idf(n_docs_total, df)
+        s = idf * bm25_tf_norm(row[present], dls[present], K1, B, avgdl)
+        acc[present] += s
+        hits[present] += 1
+    need = len(tps_idx) if op == "AND" else 1
+    cand = np.nonzero(hits >= need)[0]
+    return cand, acc[cand]
+
+
+def topk_ref(cand, scores, k):
+    order = np.lexsort((cand, -scores))[:k]
+    return cand[order], scores[order]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("op", ["OR", "AND"])
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_modes_match_bruteforce(seed, op, k):
+    rng = np.random.default_rng(seed)
+    mat, dls = make_corpus(rng)
+    n_docs = mat.shape[1]
+    avgdl = float(dls.mean())
+    tps = build_tps(mat, dls, n_docs)
+    idx = list(range(mat.shape[0]))
+
+    ref_c, ref_s = brute_force(mat, dls, idx, avgdl, n_docs, op)
+    want_d, want_s = topk_ref(ref_c, ref_s, k)
+
+    for mode in ("taat", "bmw"):
+        got_d, got_s = score_group(
+            tps, k=k, op=op, mode=mode, k1=K1, b=B, avgdl=avgdl
+        )
+        assert got_d.astype(np.int64).tolist() == want_d.tolist(), mode
+        np.testing.assert_allclose(got_s, want_s, atol=1e-9, err_msg=mode)
+
+
+def test_not_terms_and_filters():
+    rng = np.random.default_rng(7)
+    mat, dls = make_corpus(rng, n_terms=4)
+    n_docs = mat.shape[1]
+    avgdl = float(dls.mean())
+    tps = build_tps(mat, dls, n_docs)
+    pos, neg = tps[:3], [tps[3]]
+
+    got_d, got_s = score_group(
+        pos, k=50, op="OR", mode="bmw", k1=K1, b=B, avgdl=avgdl, not_terms=neg
+    )
+    # no returned doc may contain the NOT term
+    neg_docs = set(np.nonzero(mat[3])[0].tolist())
+    assert not (set(got_d.astype(np.int64).tolist()) & neg_docs)
+
+    # ... and must equal brute force minus neg docs
+    ref_c, ref_s = brute_force(mat, dls, [0, 1, 2], avgdl, n_docs, "OR")
+    keep = ~np.isin(ref_c, list(neg_docs))
+    want_d, want_s = topk_ref(ref_c[keep], ref_s[keep], 50)
+    assert got_d.astype(np.int64).tolist() == want_d.tolist()
+    np.testing.assert_allclose(got_s, want_s, atol=1e-9)
+
+    # allow filter: only even docnos pass
+    allow = np.arange(0, n_docs, 2, dtype=np.uint64)
+    got_d, got_s = score_group(
+        pos, k=50, op="OR", mode="bmw", k1=K1, b=B, avgdl=avgdl,
+        allow_docnos=allow,
+    )
+    assert all(d % 2 == 0 for d in got_d.astype(np.int64).tolist())
+    keep = ref_c % 2 == 0
+    want_d, _ = topk_ref(ref_c[keep], ref_s[keep], 50)
+    assert got_d.astype(np.int64).tolist() == want_d.tolist()
+
+    # deny filter: no odd docnos... deny evens → only odds
+    got_d, _ = score_group(
+        pos, k=50, op="OR", mode="bmw", k1=K1, b=B, avgdl=avgdl,
+        deny_docnos=allow,
+    )
+    assert all(d % 2 == 1 for d in got_d.astype(np.int64).tolist())
+
+
+def test_single_term_and_missing_overlap():
+    rng = np.random.default_rng(3)
+    mat, dls = make_corpus(rng, n_docs=500, n_terms=2)
+    # make the two terms disjoint → AND must be empty
+    mat[1, mat[0] > 0] = 0
+    if not (mat[1] > 0).any():
+        mat[1, 0] = 3
+        mat[0, 0] = 0
+    n_docs = mat.shape[1]
+    avgdl = float(dls.mean())
+    tps = build_tps(mat, dls, n_docs)
+    d, s = score_group(tps, k=10, op="AND", mode="bmw", k1=K1, b=B, avgdl=avgdl)
+    assert d.size == 0
+    d, s = score_group(tps[:1], k=10, op="OR", mode="bmw", k1=K1, b=B, avgdl=avgdl)
+    assert d.size > 0
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_bmw_prunes_but_identical(seed):
+    """Many-term OR where pruning actually kicks in; results must be
+    identical to taat for every k."""
+    rng = np.random.default_rng(100 + seed)
+    mat, dls = make_corpus(rng, n_docs=5000, n_terms=12)
+    n_docs = mat.shape[1]
+    avgdl = float(dls.mean())
+    tps = build_tps(mat, dls, n_docs, block_size=32)
+    for k in (1, 5, 20):
+        d1, s1 = score_group(tps, k=k, op="OR", mode="taat", k1=K1, b=B, avgdl=avgdl)
+        d2, s2 = score_group(tps, k=k, op="OR", mode="bmw", k1=K1, b=B, avgdl=avgdl)
+        assert d1.tolist() == d2.tolist()
+        np.testing.assert_allclose(s1, s2, atol=1e-9)
