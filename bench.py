@@ -1,0 +1,114 @@
+"""Benchmark harness (SURVEY.md §6 / M8).
+
+Headline numbers for the BASELINE.json metric: index-build throughput
+(files/sec, ingest → packed postings + merged lexicon) and warm top-k BM25
+query latency (p50/p95 over the query mix). Runs at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "build_docs_per_sec": ..., "query_p50_sec": ..., "query_p95_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fcs3-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fastcatsearch3_spark.config import EngineConfig
+    from fastcatsearch3_spark.index import IndexStore
+    from fastcatsearch3_spark.operators.build import build_index
+    from fastcatsearch3_spark.operators.ingest import load_documents
+    from fastcatsearch3_spark.plans.query import ParsedQuery
+    from fastcatsearch3_spark.plans.search import search_index
+    from fastcatsearch3_spark.plans import sql_bm25
+
+    cfg = EngineConfig()
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+
+    corpus = load_documents(spark, sf_dir).cache()
+    n_docs = corpus.count()
+
+    root = tempfile.mkdtemp(prefix="fcs3_bench_")
+    try:
+        # --- headline 1: cold index build (I-1..I-7) --------------------
+        t0 = time.monotonic()
+        build_index(spark, corpus, root, cfg, resume=False, verify_integrity=True)
+        t_build = time.monotonic() - t0
+        timings["index_build"] = round(t_build, 3)
+        store = IndexStore(root)
+
+        # --- headline 2: warm top-k BM25 latency (Q-3..Q-6, BMW) -------
+        qmix = [
+            ("q_and2", ParsedQuery(terms=["spark", "merge"], op="AND")),
+            ("q_and3", ParsedQuery(terms=["spark", "merge", "table"], op="AND")),
+            ("q_or2", ParsedQuery(terms=["vector", "stream"], op="OR")),
+            ("q_not", ParsedQuery(terms=["spark"], not_terms=["slow"], op="AND")),
+            ("q_hot", ParsedQuery(terms=["table"], op="AND")),
+        ]
+        # one warmup search so JIT/UDF-worker startup doesn't skew p95
+        search_index(spark, store, ParsedQuery(terms=["index"], op="AND"), k=10).collect()
+        lat: list[float] = []
+        for name, pq in qmix:
+            reps = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                search_index(spark, store, pq, k=10, mode="bmw").collect()
+                reps.append(time.monotonic() - t0)
+            timings[name] = round(min(reps), 3)
+            lat.extend(reps)
+
+        # --- declarative BM25 path for comparison ----------------------
+        t0 = time.monotonic()
+        sql_bm25.bm25_topk(corpus, ["spark", "merge"], k=10, cfg=cfg).collect()
+        timings["bm25_sql_path"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    total = time.monotonic() - t_all
+    out = {
+        "metric": "index-build files/sec + warm top-k BM25 latency",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": int(n_docs),
+        "cpus": cpus,
+        "build_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "query_p50_sec": round(float(np.percentile(lat, 50)), 4),
+        "query_p95_sec": round(float(np.percentile(lat, 95)), 4),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

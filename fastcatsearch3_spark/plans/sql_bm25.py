@@ -49,21 +49,19 @@ def lexicon_df(corpus: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
     )
 
 
-def bm25_topk(
+def bm25_scores(
     corpus: DataFrame,
     terms: list[str],
-    k: int = 10,
     op: str = "AND",
     cfg: EngineConfig | None = None,
-    round_score: int | None = 4,
     tf: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k BM25 as pure DataFrame algebra over the unpacked tf relation.
+    """Unlimited BM25 score relation (doc_id, score) as pure DataFrame
+    algebra over the unpacked tf relation.
 
     Plan: tf (scan+agg) ⋈ broadcast(query terms) ⋈ broadcast(per-term df)
     ⨯ broadcast(corpus stats) → per-(doc,term) partial score →
-    groupBy(doc_id) sum → AND gate (count(term) = |terms|) →
-    TakeOrderedAndProject(k).
+    groupBy(doc_id) sum → AND gate (count(term) = |terms|).
     """
     cfg = cfg or EngineConfig()
     if not terms:
@@ -99,10 +97,20 @@ def bm25_topk(
     )
     if op == "AND":
         agg = agg.where(F.col("nt") == len(terms))
-    out = agg.select(
-        "doc_id",
-        (F.round("score", round_score) if round_score else F.col("score")).alias(
-            "score"
-        ),
-    )
+    return agg.select("doc_id", "score")
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    op: str = "AND",
+    cfg: EngineConfig | None = None,
+    round_score: int | None = 4,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k over :func:`bm25_scores` — compiles to TakeOrderedAndProject."""
+    out = bm25_scores(corpus, terms, op=op, cfg=cfg, tf=tf)
+    if round_score:
+        out = out.select("doc_id", F.round("score", round_score).alias("score"))
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
