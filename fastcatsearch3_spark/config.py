@@ -46,6 +46,10 @@ class EngineConfig:
     stopwords: tuple[str, ...] = field(default_factory=tuple)
     analyzer: str = "standard"
     analyzer_version: str = ANALYZER_VERSION
+    # on-disk layout revision: bump whenever docmap/postings schema or blob
+    # format changes, so resume (I-8) rejects segments built under an older
+    # layout instead of silently mixing formats
+    index_format: int = 2
 
     def to_dict(self) -> dict:
         """JSON-stable dict (round-trips through manifests identically)."""

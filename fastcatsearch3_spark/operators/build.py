@@ -162,6 +162,10 @@ def build_segment(
         "shard",
         "docno",
         "doc_id",
+        # pk identifies the logical document across versions (J-7): a later
+        # segment carrying the same pk supersedes this row (DeleteIdSet
+        # semantics, core:ir.index.DeleteIdSet [K])
+        F.xxhash64("repo", "path").alias("pk_hash"),
         "dl",
         "content_sha256",
     )

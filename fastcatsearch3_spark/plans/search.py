@@ -174,10 +174,20 @@ def search_index(
         )
         masks.append(allowed)
     if deletes is not None:
+        # a tombstone written at segment N masks copies in segments < N only
+        # (the re-ingested/updated copy in segment N itself stays live) —
+        # the reference's per-segment DeleteIdSet applied to older segments
+        # (core:ir.index.DeleteIdSet [K])
+        dm = store.docmap(spark).alias("dm")
+        dl_ = deletes.alias("dl")
         denied = (
-            store.docmap(spark)
-            .join(deletes.select("doc_id"), "doc_id")
-            .select("segment_id", "shard", "docno", F.lit(-1).alias("kind"))
+            dm.join(
+                dl_,
+                (F.col("dm.doc_id") == F.col("dl.doc_id"))
+                & (F.col("dm.segment_id") < F.col("dl.segment_id")),
+            )
+            .select("dm.segment_id", "dm.shard", "dm.docno", F.lit(-1).alias("kind"))
+            .distinct()
         )
         masks.append(denied)
 

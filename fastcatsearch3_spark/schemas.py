@@ -31,6 +31,7 @@ DOCMAP = T.StructType(
         T.StructField("shard", T.IntegerType(), False),
         T.StructField("docno", T.LongType(), False),
         T.StructField("doc_id", T.LongType(), False),
+        T.StructField("pk_hash", T.LongType(), False),
         T.StructField("dl", T.LongType(), False),
         T.StructField("content_sha256", T.StringType(), True),
     ]

@@ -85,6 +85,7 @@ def gen_corpus_delta(base_n: int, seed: int = 43):
     """Incremental fixtures (FIXTURES.md B5): 50 new docs, 20 updates of
     existing (same repo+path, new commit), 10 tombstone doc keys."""
     new = gen_corpus(50, seed=seed)
+    new["path"] = "inc/" + new["path"]  # distinct pk from every base doc
     base = gen_corpus(base_n, seed=42)
     upd = base.iloc[:20].copy()
     upd["commit"] = [
