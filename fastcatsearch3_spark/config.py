@@ -24,21 +24,18 @@ class EngineConfig:
     defaults, pinned: k1=1.2, b=0.75). ``num_shards`` is the number of
     document shards per segment (the scatter-gather unit, mirroring the
     reference's data-node partitioning of collections — SURVEY.md Q-6);
-    ``num_buckets`` is the term-hash bucket count used to batch posting
-    packing (amortizes pandas-group overhead and bounds per-task memory).
     ``block_size`` is the posting block length for block-max metadata
     (SURVEY.md I-9 / O-3).
 
     At 100 TB scale, ``num_shards`` should be sized so one shard's docmap
     (doc_id + dl, ~16 B/doc) fits comfortably in executor memory
-    (~1M docs/shard ⇒ 16 MB), and ``num_buckets`` so one term-bucket of
-    tf rows fits in a pandas frame (a few hundred MB).
+    (~1M docs/shard ⇒ 16 MB); per-task pack memory is bounded separately
+    by the pack repartition width (shuffle partitions).
     """
 
     k1: float = 1.2
     b: float = 0.75
     num_shards: int = 8
-    num_buckets: int = 32
     block_size: int = 128
     min_token_len: int = 1
     max_token_len: int = 64

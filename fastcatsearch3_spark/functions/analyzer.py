@@ -161,3 +161,32 @@ def tokenize_udf(cfg: EngineConfig | None = None):
     d = cfg.to_dict()
     d["stopwords"] = tuple(d["stopwords"])
     return _tokenize_udf_cached(tuple(sorted(d.items())))
+
+
+@lru_cache(maxsize=16)
+def _tokens_string_udf_cached(cfg_key: tuple):
+    from pyspark.sql.functions import pandas_udf
+
+    cfg = EngineConfig.from_dict(dict(cfg_key))
+    fn = ANALYZERS[cfg.analyzer]
+
+    @pandas_udf("string")
+    def analyze_joined(content: pd.Series) -> pd.Series:
+        return fn(content, cfg).str.join(" ")
+
+    return analyze_joined
+
+
+def tokens_string_udf(cfg: EngineConfig | None = None):
+    """Analyzer UDF returning the token stream as ONE space-joined string.
+
+    This is the hot-path variant for the index build: transferring a single
+    string per row through Arrow is ~an order of magnitude cheaper than
+    materializing per-row Python dicts/lists into map/list arrays, and the
+    JVM re-splits with codegen'd `split()` at negligible cost. Tokens can
+    never contain spaces (the grammar admits only [a-z0-9]+ runs and CJK
+    bigrams), so the join is lossless."""
+    cfg = cfg or EngineConfig()
+    d = cfg.to_dict()
+    d["stopwords"] = tuple(d["stopwords"])
+    return _tokens_string_udf_cached(tuple(sorted(d.items())))

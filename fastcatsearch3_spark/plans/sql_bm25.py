@@ -20,19 +20,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fastcatsearch3_spark.config import EngineConfig
-from fastcatsearch3_spark.operators.build import term_counts_udf
+from fastcatsearch3_spark.operators.build import dl_column, tokens_raw_column
 
 
 def tf_table(corpus: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
     """(doc_id, dl, term, tf) — the unpacked posting relation (I-3's
-    map-side output as a plain DataFrame)."""
+    map-side output as a plain DataFrame). The occurrence→tf combine is a
+    JVM hash aggregate (partial+final) over the exploded token stream."""
     cfg = cfg or EngineConfig()
-    tc = term_counts_udf(cfg)
-    return (
-        corpus.withColumn("tc", tc(F.col("content")))
-        .withColumn("dl", F.expr("aggregate(map_values(tc), 0L, (a, x) -> a + x)"))
-        .select("doc_id", "dl", F.explode("tc").alias("term", "tf"))
+    toks = tokens_raw_column(cfg)
+    # explode_outer avoids Catalyst's generator-pruning filter, which would
+    # re-evaluate the analyzer UDF a second time (see operators/build.py)
+    occ = (
+        corpus.withColumn("toks", toks(F.col("content")))
+        .withColumn("dl", dl_column("toks"))
+        .select("doc_id", "dl", F.explode_outer("toks").alias("term"))
+        .where(F.col("term").isNotNull() & (F.col("term") != ""))
     )
+    return occ.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
 
 
 def doclens(corpus: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:

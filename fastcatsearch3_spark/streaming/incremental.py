@@ -51,7 +51,7 @@ from fastcatsearch3_spark.index import IndexStore
 from fastcatsearch3_spark.operators.build import (
     PACK_SCHEMA,
     build_segment,
-    make_pack_fn,
+    make_pack_stream,
     publish_lexicon,
     write_manifest,
 )
@@ -266,21 +266,16 @@ def compact(
     remap = new_assign.select("segment_id", "shard", "docno", "nshard", "ndocno")
 
     exploded = store.postings(spark).mapInPandas(_decode_iter, _DECODE_SCHEMA)
-    tf_rows = (
-        exploded.join(remap, ["segment_id", "shard", "docno"])
-        .select(
-            F.col("nshard").alias("shard"),
-            F.col("ndocno").alias("docno"),
-            "dl",
-            "term",
-            "tf",
-        )
-        .withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int")
-        )
+    tf_rows = exploded.join(remap, ["segment_id", "shard", "docno"]).select(
+        F.col("nshard").alias("shard"),
+        F.col("ndocno").alias("docno"),
+        "dl",
+        "term",
+        "tf",
     )
-    packed = tf_rows.groupBy("shard", "bucket").applyInPandas(
-        make_pack_fn(cfg.block_size), PACK_SCHEMA
+    npart = 2 * max(spark.sparkContext.defaultParallelism, cfg.num_shards)
+    packed = tf_rows.repartition(npart, "shard", "term").mapInPandas(
+        make_pack_stream(cfg.block_size, combine=False), PACK_SCHEMA
     )
 
     tmp = root / ".compact"

@@ -101,5 +101,6 @@ if __name__ == "__main__":
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
     out = sys.argv[2] if len(sys.argv) > 2 else "fixtures/corpus_small.parquet"
-    gen_corpus(n).to_parquet(out, index=False)
+    # small row groups keep the file splittable → parallel scans
+    gen_corpus(n).to_parquet(out, index=False, row_group_size=8192)
     print(f"wrote {n} docs to {out}")

@@ -1,0 +1,179 @@
+"""Scaling-efficiency evidence run (BASELINE.json north_rule; BASELINE.md M8).
+
+The rule demands throughput scaling efficiency >= 0.8 from N to 4N
+executors. No real cluster exists in this sandbox, so (per the task brief)
+the same spark-submit job runs at two local parallelism levels over the
+SAME input and we report throughput at both plus
+efficiency = (thr_high / thr_low) / (cpus_high / cpus_low).
+
+Usage:
+    python scripts/bench_scaling.py [--docs 100000] [--low 8] [--high 32]
+                                    [--runs 3] [--out BENCH/BASELINE.md]
+
+Each configuration runs ``--runs`` times; the median is reported. The
+corpus is the deterministic rule-shaped generator (fixtures/gen_corpus.py,
+seed 42) written once to parquet and shared by both configurations. The
+build job itself is launched exactly as the rule says: spark-submit
+--py-files dist/engine.zip jobs/build_index.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def make_engine_zip(dist: Path) -> Path:
+    dist.mkdir(parents=True, exist_ok=True)
+    zpath = dist / "engine.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted((REPO / "fastcatsearch3_spark").rglob("*.py")):
+            zf.write(p, p.relative_to(REPO))
+    return zpath
+
+
+def gen_corpus_parquet(n_docs: int, out: Path, n_files: int = 32) -> None:
+    """Write the corpus as a DIRECTORY of n_files parquet files so scans
+    parallelize (a single 300 MB file is 2-3 input splits at best)."""
+    sys.path.insert(0, str(REPO))
+    from fixtures.gen_corpus import gen_corpus
+
+    out.mkdir(parents=True, exist_ok=True)
+    pdf = gen_corpus(n_docs, seed=42)
+    chunk = (n_docs + n_files - 1) // n_files
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            part.to_parquet(
+                out / f"part-{i:04d}.parquet", index=False, row_group_size=8192
+            )
+
+
+def run_build(zpath: Path, corpus: Path, cpus: int, shards: int) -> dict:
+    index_root = Path(tempfile.mkdtemp(prefix=f"fcs3_scale_{cpus}_"))
+    try:
+        cmd = [
+            "spark-submit",
+            "--master",
+            f"local[{cpus}]",
+            "--conf",
+            f"spark.sql.shuffle.partitions={2 * cpus}",
+            "--conf",
+            "spark.sql.adaptive.enabled=true",
+            "--conf",
+            "spark.driver.memory=24g",
+            "--conf",
+            "spark.ui.enabled=false",
+            "--py-files",
+            str(zpath),
+            str(REPO / "jobs" / "build_index.py"),
+            "--input",
+            str(corpus),
+            "--index-root",
+            str(index_root),
+            "--no-resume",
+            "--shards",
+            str(shards),
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"job": "build_index"' in line:
+                return json.loads(line)
+        raise RuntimeError(
+            f"no metrics line from spark-submit (rc={proc.returncode}):\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        )
+    finally:
+        shutil.rmtree(index_root, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--out", default=str(REPO / "BENCH" / "BASELINE.md"))
+    args = ap.parse_args()
+
+    work = Path(tempfile.mkdtemp(prefix="fcs3_scaling_"))
+    corpus = work / "corpus"
+    print(f"generating {args.docs} docs → {corpus}", file=sys.stderr)
+    gen_corpus_parquet(args.docs, corpus)
+    zpath = make_engine_zip(work / "dist")
+
+    results: dict[int, list[dict]] = {}
+    for cpus in (args.low, args.high):
+        results[cpus] = []
+        for r in range(args.runs):
+            m = run_build(zpath, corpus, cpus, args.shards)
+            results[cpus].append(m)
+            print(
+                f"local[{cpus}] run {r + 1}/{args.runs}: "
+                f"{m['elapsed_sec']}s = {m['docs_per_sec']} docs/s",
+                file=sys.stderr,
+            )
+
+    med = {
+        c: statistics.median(m["docs_per_sec"] for m in results[c])
+        for c in results
+    }
+    ratio = args.high / args.low
+    eff = (med[args.high] / med[args.low]) / ratio
+    summary = {
+        "n_docs": args.docs,
+        "runs": args.runs,
+        "low_cpus": args.low,
+        "high_cpus": args.high,
+        "docs_per_sec_low": med[args.low],
+        "docs_per_sec_high": med[args.high],
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+        "all_runs": {str(c): results[c] for c in results},
+    }
+    print(json.dumps(summary))
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(
+        f"""# BENCH/BASELINE — measured numbers (protocol: /root/repo/BASELINE.md)
+
+Index-build scaling run, `spark-submit --py-files engine.zip
+jobs/build_index.py` over the deterministic rule-shaped corpus
+(fixtures/gen_corpus.py seed=42, {args.docs} docs), {args.runs} runs each,
+median reported. Sandbox adaptation: local[{args.low}] vs local[{args.high}]
+stand in for N vs 4N executors (no real cluster available).
+
+| config | median throughput (docs/sec) |
+|---|---|
+| local[{args.low}], shuffle={2 * args.low} | {med[args.low]} |
+| local[{args.high}], shuffle={2 * args.high} | {med[args.high]} |
+
+**Scaling efficiency** = ({med[args.high]} / {med[args.low]}) / {ratio:.0f}
+= **{eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+Raw runs:
+
+```json
+{json.dumps(summary, indent=2)}
+```
+"""
+    )
+    print(f"wrote {out}", file=sys.stderr)
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ from fastcatsearch3_spark.streaming import incremental as inc
 from fixtures.gen_corpus import gen_corpus, gen_corpus_delta
 from tests.oracle import bm25_topk_oracle
 
-CFG = EngineConfig(num_shards=4, num_buckets=8)
+CFG = EngineConfig(num_shards=4)
 BASE_N = 200
 
 

@@ -19,7 +19,7 @@ from fastcatsearch3_spark.plans.search import search_index
 
 from oracle import bm25_topk_oracle
 
-CFG = EngineConfig(num_shards=4, num_buckets=8, block_size=64)
+CFG = EngineConfig(num_shards=4, block_size=64)
 
 
 @pytest.fixture(scope="module")
@@ -127,7 +127,7 @@ def test_resume_skips_complete_segments(spark, corpus, tmp_path):
         IndexStore(root).lexicon(spark).orderBy("term").toPandas()
     )
     # config change invalidates completeness
-    cfg2 = EngineConfig(num_shards=4, num_buckets=8, block_size=32)
+    cfg2 = EngineConfig(num_shards=4, block_size=32)
     assert not B.segment_complete(root, 0, cfg2)
     assert B.segment_complete(root, 0, CFG)
     assert lex1["df"].sum() > 0
