@@ -24,6 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.dataops import dedup as D
+from fastcatsearch3_spark.dataops import multimodal as MM
+from fastcatsearch3_spark.dataops import similarity as SIM
+from fastcatsearch3_spark.dataops import textstats as TS
 from fastcatsearch3_spark.index import IndexStore
 from fastcatsearch3_spark.operators.build import build_index
 from fastcatsearch3_spark.operators.ingest import load_documents
@@ -291,6 +295,136 @@ def _q_ann_cosine_topk(spark, sf_dir):  # brute-force cosine top-k (ANN baseline
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dataops/) — dedup, similarity, text stats
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    return D.jaccard_top_pairs(_docs(spark, sf_dir), CFG, n=3, top=50)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), CFG, n=3, top=50)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return D.simhash_top_pairs(_docs(spark, sf_dir), CFG, top=50)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    return D.embedding_top_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), top=50
+    )
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    return SIM.lsh_ann_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), probe_id=0, k=_K
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    return TS.token_counts(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return TS.lang_id(_docs(spark, sf_dir), CFG)
+
+
+def _q_quality_score(spark, sf_dir):
+    return TS.quality_score(_docs(spark, sf_dir), CFG)
+
+
+def _q_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_docs(spark, sf_dir), CFG)
+
+
+def _q_binary_meta(spark, sf_dir):
+    return MM.binary_meta(_docs(spark, sf_dir))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    # mapInPandas decode plumbing with the deterministic fake decoder;
+    # non-SQL-expressible → no oracle entry (driver rows-only check)
+    return MM.extract_features(_docs(spark, sf_dir), kind="raw").select(
+        "doc_id", "modality", "n_bytes", "width", "height"
+    )
+
+
+# ---------------------------------------------------------------------------
+# generic relational surface (SURVEY.md J-8, A-7, A-8, W-4, P-6, Q-5) over
+# the TPC-H-ish tables — "free" Spark built-ins, included for coverage
+# ---------------------------------------------------------------------------
+
+def _q_join_revenue(spark, sf_dir):  # J-8 equi-join + agg
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("sum_price_e2"),
+        )
+    )
+
+
+def _q_distinct_users(spark, sf_dir):  # A-7 (exact distinct; approx_count_distinct is the scale path)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def _q_rollup_counts(spark, sf_dir):  # A-8 rollup + grouping id
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(F.count("*").alias("cnt"), F.grouping_id().cast("long").alias("gid"))
+    )
+
+
+def _q_window_lag(spark, sf_dir):  # W-4 analytic frame (lag)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(
+            (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)))
+            * 10000
+        )
+        .cast("long")
+        .alias("delta_e4"),
+    )
+
+
+def _q_match_boost(spark, sf_dir):  # P-6 MATCH_BOOST: additive score bump, no row drop
+    scores = sql_bm25.bm25_scores(_corpus(spark, sf_dir), _Q_OR, op="OR", cfg=CFG)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    boosted = scores.join(d, "doc_id").withColumn(
+        "boosted",
+        F.col("score") + F.when(F.col("lang") == "en", 0.5).otherwise(0.0),
+    )
+    return (
+        boosted.select("doc_id", _e4("boosted"))
+        .orderBy(F.desc("boosted_e4"), F.asc("doc_id"))
+        .limit(_K)
+    )
+
+
+def _q_search_hydrate(spark, sf_dir):  # Q-5 result hydration (stored fields)
+    store = _packed_store(spark, sf_dir)
+    hits = search_index(spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), k=_K)
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return hits.join(F.broadcast(d), "doc_id").select(
+        "doc_id", _e4(), "lang", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -312,12 +446,186 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except": _q_set_except,
         "events_hourly": _q_events_hourly,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "token_counts": _q_token_counts,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality_score,
+        "doc_fingerprint": _q_fingerprint,
+        "binary_meta": _q_binary_meta,
+        "multimodal_features": _q_multimodal_features,
+        "join_revenue": _q_join_revenue,
+        "distinct_users": _q_distinct_users,
+        "rollup_counts": _q_rollup_counts,
+        "window_lag": _q_window_lag,
+        "match_boost": _q_match_boost,
+        "search_hydrate": _q_search_hydrate,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL — DuckDB side (same column names, same *_e4 convention)
 # ---------------------------------------------------------------------------
+
+# shared DuckDB fragments for the shingle-based dedup oracles
+_SH = (
+    "SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(arr) - 1),"
+    " i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle"
+    " FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') arr"
+    " FROM documents) WHERE len(arr) >= 3"
+)
+_PAIR_JACCARD = f"""
+sh AS ({_SH}),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+jac AS (
+  SELECT doc_a, doc_b,
+         CAST(round(inter * 10000.0 / (sa.sz + sb.sz - inter)) AS BIGINT)
+           AS jaccard_e4
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b)
+"""
+
+
+def _minhash_sql() -> str:
+    sigs = ", ".join(
+        f"min(md5('{i}:' || shingle)) sig_{i}" for i in range(D.NUM_HASHES)
+    )
+    rows = D.NUM_HASHES // D.BANDS
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {b} band, md5({cat}) band_key FROM sig".format(
+            b=b, cat=" || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(D.BANDS)
+    )
+    return f"""
+WITH {_PAIR_JACCARD.strip().rstrip()},
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id)
+SELECT j.doc_a, j.doc_b, j.jaccard_e4
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+ORDER BY j.jaccard_e4 DESC, j.doc_a ASC, j.doc_b ASC LIMIT 50
+"""
+
+
+def _simhash_sql() -> str:
+    width = D.SIMHASH_BITS // D.SIMHASH_BANDS
+    mask = (1 << width) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} band, (simhash >> {b * width}) & {mask} band_key"
+        " FROM sh2"
+        for b in range(D.SIMHASH_BANDS)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) term
+    FROM documents) GROUP BY doc_id, term),
+votes AS (
+  SELECT doc_id, j,
+    sum(tf * (2 * (((instr('0123456789abcdef',
+        substr(md5(term), CAST(floor(j / 4) AS INT) + 1, 1)) - 1)
+        >> (3 - CAST(j % 4 AS INT))) & 1) - 1)) vote
+  FROM tf CROSS JOIN range(0, {D.SIMHASH_BITS}) t(j)
+  GROUP BY doc_id, j),
+sh2 AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+             ELSE 0 END) AS BIGINT) simhash
+  FROM votes GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(ha.simhash, hb.simhash)) AS BIGINT) hamming
+FROM cand c
+JOIN sh2 ha ON ha.doc_id = c.doc_a
+JOIN sh2 hb ON hb.doc_id = c.doc_b
+ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT 50
+"""
+
+
+_EMB_DVEC = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
+    " FROM embeddings"
+)
+
+
+def _emb_pairs_sql() -> str:
+    return f"""
+WITH v AS ({_EMB_DVEC}),
+pairs AS (
+  SELECT a.vec_id vec_a, b.vec_id vec_b,
+    list_sum(list_transform(range(1, 65),
+      i -> a.vec[CAST(i AS INT)] * b.vec[CAST(i AS INT)]))
+    / (sqrt(list_sum(list_transform(a.vec, x -> x * x)))
+       * sqrt(list_sum(list_transform(b.vec, x -> x * x)))) sim
+  FROM v a CROSS JOIN v b WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, CAST(round(sim * 10000) AS BIGINT) sim_e4
+FROM pairs ORDER BY sim_e4 DESC, vec_a ASC, vec_b ASC LIMIT 50
+"""
+
+
+def _lsh_ann_sql() -> str:
+    hp = SIM.hyperplanes()
+    bucket_terms = []
+    for i, row in enumerate(hp):
+        lit = "[" + ", ".join(f"{v!r}" for v in row) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" j -> vec[CAST(j AS INT)] * ({lit})[CAST(j AS INT)])) > 0"
+            f" THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) vec
+           FROM embeddings),
+vb AS (SELECT vec_id, vec, {bucket} AS bucket FROM v),
+probe AS (SELECT vec qvec, bucket qbucket FROM vb WHERE vec_id = 0),
+sims AS (
+  SELECT vb.vec_id,
+    list_sum(list_transform(range(1, 65),
+      i -> vb.vec[CAST(i AS INT)] * p.qvec[CAST(i AS INT)]))
+    / (sqrt(list_sum(list_transform(vb.vec, x -> x * x)))
+       * sqrt(list_sum(list_transform(p.qvec, x -> x * x)))) sim
+  FROM vb JOIN probe p ON vb.bucket = p.qbucket
+  WHERE vb.vec_id <> 0)
+SELECT vec_id, CAST(round(sim * 10000) AS BIGINT) sim_e4
+FROM sims ORDER BY sim_e4 DESC, vec_id ASC LIMIT {_K}
+"""
+
+
+def _lang_id_sql() -> str:
+    hit_exprs = []
+    for lang, words in TS.LANG_LEXICONS.items():
+        lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hit_exprs.append(f"len(list_intersect(arr, {lit})) hits_{lang}")
+    langs = list(TS.LANG_LEXICONS)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lg} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') arr
+           FROM documents),
+h AS (SELECT doc_id, {', '.join(hit_exprs)} FROM t)
+SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' ELSE {case} END pred_lang
+FROM h
+"""
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -385,5 +693,112 @@ def oracle_sql() -> dict[str, str]:
             "  FROM v CROSS JOIN probe p WHERE v.vec_id <> 0)"
             " SELECT vec_id, CAST(round(sim * 10000) AS BIGINT) AS sim_e4"
             " FROM sims ORDER BY sim_e4 DESC, vec_id ASC LIMIT 10"
+        ),
+        "dedup_exact": (
+            "SELECT sha256(text) AS content_sha256, min(doc_id) AS keep_id,"
+            " CAST(count(*) AS BIGINT) AS n_copies FROM documents"
+            " GROUP BY sha256(text)"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH {_PAIR_JACCARD.strip()} SELECT doc_a, doc_b, jaccard_e4"
+            " FROM jac ORDER BY jaccard_e4 DESC, doc_a ASC, doc_b ASC LIMIT 50"
+        ),
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "dedup_embedding_cosine": _emb_pairs_sql(),
+        "ann_lsh_topk": _lsh_ann_sql(),
+        "token_counts": (
+            "SELECT doc_id,"
+            " CAST(len(list_filter(string_split_regex(text, '\\s+'),"
+            "   x -> x != '')) AS BIGINT) AS ws_tokens,"
+            f" CAST(len(regexp_extract_all(text, '{TS.BPE_PATTERN}'))"
+            " AS BIGINT) AS bpe_tokens"
+            " FROM documents"
+        ),
+        "lang_id": _lang_id_sql(),
+        "quality_score": """
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) n_chars,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT)
+      n_alnum,
+    regexp_extract_all(lower(text), '[a-z0-9]+') arr
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN n_chars > 0 THEN n_alnum * 1.0 / n_chars ELSE 0.0 END ar,
+    CASE WHEN len(arr) > 0 THEN
+      len(list_filter(arr, x -> list_contains(
+        ['the', 'a', 'of', 'and', 'is', 'to', 'in'], x))) * 1.0 / len(arr)
+      ELSE 0.0 END sr,
+    len(arr) n_toks
+  FROM t)
+SELECT doc_id, n_chars,
+  CAST(round(ar * 10000) AS BIGINT) alnum_ratio_e4,
+  CAST(round(sr * 10000) AS BIGINT) stopword_ratio_e4,
+  CAST(round(ar * least(1.0, n_toks / 20.0) * 10000) AS BIGINT) quality_e4
+FROM r
+""",
+        "doc_fingerprint": f"""
+WITH sh AS ({_SH}),
+ranked AS (
+  SELECT doc_id, md5(shingle) h,
+    row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) rk
+  FROM sh)
+SELECT doc_id, md5(string_agg(h, '' ORDER BY h)) fingerprint
+FROM ranked WHERE rk <= {TS.FINGERPRINT_K} GROUP BY doc_id
+""",
+        "binary_meta": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)"
+            " AS n_bytes, lower(hex(encode(substr(text, 1, 4)))) AS magic_hex"
+            " FROM documents"
+        ),
+        # multimodal_features: no oracle (mapInPandas stub decoder) —
+        # driver records a rows-only check by design
+        "join_revenue": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) n_orders,"
+            " CAST(round(sum(o_totalprice) * 100) AS BIGINT) sum_price_e2"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_mktsegment"
+        ),
+        "distinct_users": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)"
+            " n_users FROM events GROUP BY event_type"
+        ),
+        "rollup_counts": (
+            "SELECT lang, source, CAST(count(*) AS BIGINT) cnt,"
+            " CAST(grouping(lang, source) AS BIGINT) gid"
+            " FROM documents GROUP BY ROLLUP (lang, source)"
+        ),
+        "window_lag": (
+            "SELECT event_id, CAST(round((value - coalesce("
+            " lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),"
+            " 0.0)) * 10000) AS BIGINT) delta_e4 FROM events"
+        ),
+        "match_boost": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('vector', 'stream')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score FROM scored GROUP BY doc_id),
+boosted AS (
+  SELECT a.doc_id,
+         CAST(round((a.score + CASE WHEN d.lang = 'en' THEN 0.5 ELSE 0.0 END)
+              * 10000) AS BIGINT) boosted_e4
+  FROM agg a JOIN documents d USING (doc_id))
+SELECT doc_id, boosted_e4 FROM boosted
+ORDER BY boosted_e4 DESC, doc_id ASC LIMIT {_K}
+""",
+        "search_hydrate": (
+            f"SELECT f.doc_id, f.score_e4, d.lang, d.source FROM"
+            f" ({_bm25_sql(_Q_AND2, 'AND', _K, order_raw=True)}) f"
+            " JOIN documents d USING (doc_id)"
         ),
     }

@@ -91,6 +91,28 @@ def main() -> None:
         t0 = time.monotonic()
         sql_bm25.bm25_topk(corpus, ["spark", "merge"], k=10, cfg=cfg).collect()
         timings["bm25_sql_path"] = round(time.monotonic() - t0, 3)
+
+        # --- training-data pipeline headliners -------------------------
+        from fastcatsearch3_spark.dataops import dedup as D
+        from fastcatsearch3_spark.dataops import similarity as SIM
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.monotonic()
+        D.exact_dedup(docs).count()
+        timings["dedup_exact"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        D.minhash_lsh_pairs(docs, cfg, top=50).count()
+        timings["dedup_minhash_lsh"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        D.simhash_top_pairs(docs, cfg, top=50).count()
+        timings["dedup_simhash"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        SIM.brute_force_topk(emb, probe_id=0, k=10).count()
+        timings["ann_brute_force"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        SIM.lsh_ann_topk(emb, probe_id=0, k=10).count()
+        timings["ann_lsh"] = round(time.monotonic() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

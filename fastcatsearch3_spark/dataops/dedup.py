@@ -1,0 +1,324 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These are engine extensions beyond the fastcatsearch3 reference surface
+(the reference dedups only by primary key at index time —
+core:ir.document.PrimaryKeyIndexWriter [K per SURVEY.md]); they are
+first-class here because a 100 TB corpus engine must dedup before it
+indexes. Every operator is pure DataFrame algebra (joins + aggregations
+inside Catalyst/codegen) so the DuckDB oracle can mirror it exactly:
+
+  * exact_dedup            — hash-groupBy on sha256(content)
+  * shingles               — word n-gram shingle relation (the shared base)
+  * jaccard_top_pairs      — n-gram Jaccard similarity, top-N pairs
+  * minhash_signatures     — K-permutation MinHash, portable md5 form
+  * minhash_lsh_pairs      — banded LSH candidates + exact-Jaccard verify
+  * simhash                — 63-bit SimHash from tf-weighted md5 bit votes
+  * simhash_top_pairs      — banded Hamming-distance near-dup pairs
+
+Portability trick: instead of integer hash families (whose overflow / mod
+semantics differ across engines), the MinHash "permutations" are
+h_i(s) = md5(i || ':' || s) compared LEXICOGRAPHICALLY — min over a set of
+md5 strings is a perfectly valid uniform permutation surrogate and is
+bit-identical in any engine with md5(). Scale notes per operator below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.operators.build import tokens_raw_column
+
+NUM_HASHES = 16
+BANDS = 4  # rows per band = NUM_HASHES // BANDS
+SIMHASH_BITS = 63  # fits signed BIGINT
+SIMHASH_BANDS = 3  # 21 bits each
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — scales as one hash aggregate (map-side partial combine)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """One row per distinct content: the surviving doc (min doc_id) and the
+    duplicate count. Input: driver `documents` shape (doc_id, text)."""
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_sha256"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("content_sha256", "keep_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle relation — base for Jaccard / MinHash
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, cfg: EngineConfig | None = None, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): DISTINCT word n-gram shingles over the analyzed
+    token stream. At scale this relation is ~dl rows per doc; it shuffles
+    once per consumer (join/agg) and never materializes per-doc sets."""
+    cfg = cfg or EngineConfig()
+    toks = tokens_raw_column(cfg)
+    parts = ", ".join(f"toks[i + {k}]" for k in range(n))
+    sh = F.expr(
+        f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {parts}))"
+    )
+    return (
+        docs.withColumn("toks", toks(F.col("text")))
+        .where(F.size("toks") >= n)
+        .where(F.col("toks")[0] != "")  # all-empty token stream guard
+        .select("doc_id", F.explode_outer(sh).alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, inter, union, jaccard) for every pair sharing ≥1
+    shingle. The self-join shuffles on shingle — Zipf-hot shingles would
+    skew it, so AQE skew-join stays on; a stop-shingle df cap (drop
+    shingles with df > threshold) is the standard scale mitigation and is
+    what minhash_lsh_pairs' banding achieves implicitly."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "sz", "sz_b"
+            ),
+            "doc_b",
+        )
+        .withColumn("union", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn("jaccard", F.col("inter") / F.col("union"))
+    )
+
+
+def jaccard_top_pairs(
+    docs: DataFrame, cfg: EngineConfig | None = None, n: int = 3, top: int = 50
+) -> DataFrame:
+    """Top-N most-similar doc pairs by n-gram Jaccard (exact, all-pairs
+    over shared shingles). Output: doc_a, doc_b, jaccard_e4."""
+    pairs = _pair_jaccard(shingles(docs, cfg, n))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard") * 10000).cast("long").alias("jaccard_e4"),
+        )
+        .orderBy(F.desc("jaccard_e4"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(top)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    docs: DataFrame, cfg: EngineConfig | None = None, n: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(doc_id, sig_0..sig_{K-1}): K-permutation MinHash signature in the
+    portable md5-string form. One aggregate pass over the shingle relation
+    (K min() columns — map-side combinable, no shuffle amplification)."""
+    sh = shingles(docs, cfg, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    cfg: EngineConfig | None = None,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    top: int = 50,
+) -> DataFrame:
+    """Banded-LSH candidate pairs verified with exact Jaccard.
+
+    Scale path: signatures are K small columns per doc; each band is one
+    md5 over its rows; the candidate join is an equi-join on band_key —
+    cost proportional to true near-duplicates, NOT all pairs (this is the
+    shingle self-join's scalable replacement). Output:
+    doc_a, doc_b, jaccard_e4 — top-N by verified similarity."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, cfg, n, num_hashes)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols)).alias("band_key"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(b_, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = cand.join(_pair_jaccard(shingles(docs, cfg, n)), ["doc_a", "doc_b"])
+    return (
+        verified.select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard") * 10000).cast("long").alias("jaccard_e4"),
+        )
+        .orderBy(F.desc("jaccard_e4"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(top)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, cfg: EngineConfig | None = None,
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): tf-weighted bit-vote SimHash over md5(term) bits,
+    packed into a signed BIGINT (63 bits). Two hash aggregates — scales
+    like a word count. Ties (vote sum == 0) resolve to bit 0."""
+    cfg = cfg or EngineConfig()
+    toks = tokens_raw_column(cfg)
+    tf = (
+        docs.withColumn("toks", toks(F.col("text")))
+        .select("doc_id", F.explode_outer("toks").alias("term"))
+        .where(F.col("term").isNotNull() & (F.col("term") != ""))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5("term"))
+    )
+    # bit j of md5: hex digit j//4, bit (3 - j%4) — one expr so the SQL
+    # oracle mirrors it verbatim
+    votes = tf.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).withColumn(
+        "bit",
+        F.expr(
+            "(shiftright(instr('0123456789abcdef',"
+            " substring(h, cast(j / 4 as int) + 1, 1)) - 1,"
+            " 3 - cast(j % 4 as int))) & 1"
+        ),
+    )
+    bitcols = votes.groupBy("doc_id", "j").agg(
+        F.sum(F.col("tf") * (F.col("bit") * 2 - 1)).alias("vote")
+    )
+    return bitcols.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), j)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_top_pairs(
+    docs: DataFrame, cfg: EngineConfig | None = None, top: int = 50,
+    bands: int = SIMHASH_BANDS, bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share ≥1 of ``bands`` bit-bands
+    (equi-join — the scalable step), ranked by Hamming distance ascending.
+    Output: doc_a, doc_b, hamming."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, cfg, bits)
+    banded = None
+    for b in range(bands):
+        part = sh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias(
+                "band_key"
+            ),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    cand = (
+        a.join(b_, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "h_a")
+    hb = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "h_b")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long").alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(top)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (brute force; the LSH scale path lives in similarity.py)
+# ---------------------------------------------------------------------------
+
+def embedding_top_pairs(emb: DataFrame, top: int = 50) -> DataFrame:
+    """Top-N most-cosine-similar embedding pairs, exact all-pairs.
+    O(n²) — the correctness baseline; similarity.lsh_ann is the scale
+    path. Output: vec_a, vec_b, sim_e4."""
+    v = emb.withColumn("vec", F.transform("embedding", lambda x: x.cast("double")))
+    dot = F.aggregate(
+        F.zip_with("a_vec", "b_vec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(c: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("a_vec"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("b_vec"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (norm("a_vec") * norm("b_vec")) * 10000)
+            .cast("long")
+            .alias("sim_e4"),
+        )
+        .orderBy(F.desc("sim_e4"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(top)
+    )

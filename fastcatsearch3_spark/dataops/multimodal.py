@@ -1,0 +1,123 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Engine extension beyond the fastcatsearch3 reference (BLOB fields exist in
+the reference's field model — core:ir.document [M per SURVEY.md §1] — but
+no decode pipeline). Design for 100 TB:
+
+  * payloads are opaque ``binary`` columns with a small typed metadata
+    struct (modality, n_bytes, magic) extracted JVM-side — cheap, pushed
+    to the scan;
+  * decode / feature-extract / resize / frame-sample run as Arrow-batched
+    ``mapInPandas`` kernels so bytes never round-trip through Python rows
+    one at a time; partition sizing bounds per-task memory;
+  * the actual codecs (PIL/ffmpeg/soundfile) are NOT available in this
+    container, so the decode step is STUBBED: ``decoder('raw')`` is a
+    deterministic fake (byte statistics standing in for pixels) proving
+    the plumbing — schema, batching, partitioning — end to end, and any
+    real codec plugs in behind the same signature.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, modality string, n_bytes bigint, width int, height int,"
+    " mean_byte double, feature array<float>"
+)
+
+
+def attach_binary(docs: DataFrame, modality: str = "text") -> DataFrame:
+    """Treat a text column as an opaque binary payload (the sandbox's
+    deterministic stand-in for real image/audio bytes): adds ``payload``
+    (binary) + typed metadata columns."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(modality).alias("modality"),
+    )
+
+
+def binary_meta(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bytes, magic_hex): JVM-side metadata extraction — the
+    cheap scan-time half of the multimodal pipeline (no Python)."""
+    b = attach_binary(docs)
+    return b.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.substring("payload", 1, 4))).alias("magic_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode kernels (mapInPandas — Arrow batches of raw bytes)
+# ---------------------------------------------------------------------------
+
+def _fake_decode(buf: bytes) -> tuple[int, int, float, np.ndarray]:
+    """Deterministic stand-in for an image decode: derives a fake
+    (width, height), the mean byte value, and an 8-dim byte-histogram
+    feature from the payload bytes."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    n = arr.size
+    width = int(np.sqrt(n)) or 1
+    height = (n + width - 1) // width
+    mean = float(arr.mean()) if n else 0.0
+    hist, _ = np.histogram(arr, bins=8, range=(0, 256))
+    feat = (hist / max(n, 1)).astype(np.float32)
+    return width, height, mean, feat
+
+
+def decoder(kind: str = "raw") -> Callable[[bytes], tuple]:
+    """Decoder registry. 'raw' = deterministic fake (always available);
+    'image'/'audio'/'video' require codec libraries not present in this
+    container and raise NotImplementedError at call time, by design."""
+    if kind == "raw":
+        return _fake_decode
+
+    def _missing(buf: bytes) -> tuple:
+        raise NotImplementedError(
+            f"{kind} decoding needs a codec library (PIL/soundfile/ffmpeg) "
+            "that is not installed in this environment; plug one in behind "
+            "decoder('<kind>') — the Spark-side plumbing is identical."
+        )
+
+    return _missing
+
+
+def extract_features(
+    docs: DataFrame, kind: str = "raw", batch_limit: int | None = None
+) -> DataFrame:
+    """Decode + feature-extract every payload via an Arrow-batched
+    mapInPandas kernel. Returns FEATURE_SCHEMA rows."""
+    dec = decoder(kind)
+    b = attach_binary(docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for doc_id, payload, modality in zip(
+                pdf["doc_id"], pdf["payload"], pdf["modality"]
+            ):
+                buf = bytes(payload)
+                width, height, mean, feat = dec(buf)
+                rows.append(
+                    (int(doc_id), modality, len(buf), width, height, mean, feat)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "modality", "n_bytes", "width", "height",
+                    "mean_byte", "feature",
+                ],
+            )
+
+    out = b.mapInPandas(kernel, FEATURE_SCHEMA)
+    return out.limit(batch_limit) if batch_limit else out

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines.
+
+Engine extensions beyond the fastcatsearch3 reference surface: language
+identification (stopword-lexicon heuristic), quality scoring
+(length / punctuation / stopword ratios), token counting (whitespace and
+BPE-ish regex) and k-min-sketch document fingerprinting. All pure
+DataFrame algebra → DuckDB-mirrorable; all single-pass aggregates →
+trivially scalable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.operators.build import tokens_raw_column
+
+# tiny per-language function-word lexicons for the n-gram/stopword
+# heuristic language id (deterministic; ties break by lexicon order)
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "fr": ("le", "la", "les", "et", "de", "un", "est"),
+    "es": ("el", "la", "los", "y", "de", "un", "es"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "zu"),
+    "zh": ("的", "是", "了", "在", "和", "有", "不"),
+}
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+FINGERPRINT_K = 4  # k-min sketch width
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens): whitespace token count and BPE-ish
+    regex token count."""
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
+        ).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """(doc_id, pred_lang): argmax of per-language stopword hit counts over
+    the analyzed token stream; deterministic tie-break by lexicon order.
+    Docs with zero hits in every lexicon get 'und' (undetermined)."""
+    cfg = cfg or EngineConfig()
+    toks = tokens_raw_column(cfg)
+    t = docs.withColumn("toks", toks(F.col("text")))
+    hit_cols = []
+    for lang, words in LANG_LEXICONS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hit_cols.append(
+            F.size(F.array_intersect("toks", arr)).alias(f"hits_{lang}")
+        )
+    t = t.select("doc_id", *hit_cols)
+    langs = list(LANG_LEXICONS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier lexicons win ties
+        pred = F.when(F.col(f"hits_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    return t.select("doc_id", pred.alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """(doc_id, n_chars, alnum_ratio_e4, stopword_ratio_e4, quality_e4):
+    simple composable quality heuristics —
+      alnum_ratio    = alphanumeric+space chars / chars
+      stopword_ratio = English-stopword tokens / tokens
+      quality        = alnum_ratio * least(1, tokens/20) (length prior)
+    """
+    cfg = cfg or EngineConfig()
+    toks = tokens_raw_column(cfg)
+    en = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
+    t = (
+        docs.withColumn("toks", toks(F.col("text")))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .withColumn(
+            "n_alnum",
+            F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "n_toks",
+            F.when(F.col("toks")[0] == "", 0).otherwise(F.size("toks")).cast("long"),
+        )
+        .withColumn(
+            "n_stop",
+            F.size(F.filter("toks", lambda x: F.array_contains(en, x))).cast("long"),
+        )
+    )
+    alnum_ratio = F.when(F.col("n_chars") > 0, F.col("n_alnum") / F.col("n_chars")).otherwise(0.0)
+    stop_ratio = F.when(F.col("n_toks") > 0, F.col("n_stop") / F.col("n_toks")).otherwise(0.0)
+    quality = alnum_ratio * F.least(F.lit(1.0), F.col("n_toks") / 20.0)
+    return t.select(
+        "doc_id",
+        "n_chars",
+        F.round(alnum_ratio * 10000).cast("long").alias("alnum_ratio_e4"),
+        F.round(stop_ratio * 10000).cast("long").alias("stopword_ratio_e4"),
+        F.round(quality * 10000).cast("long").alias("quality_e4"),
+    )
+
+
+def fingerprint(docs: DataFrame, cfg: EngineConfig | None = None,
+                n: int = 3, k: int = FINGERPRINT_K) -> DataFrame:
+    """(doc_id, fingerprint): k-min sketch — md5 of the k smallest
+    md5(shingle) values (ordered). A compact near-dup-stable document
+    signature (winnowing-style selection by hash rank)."""
+    from fastcatsearch3_spark.dataops.dedup import shingles
+
+    sh = shingles(docs, cfg, n).withColumn("h", F.md5("shingle"))
+    ranked = sh.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("doc_id").orderBy("h"))
+    ).where(F.col("rk") <= k)
+    return ranked.groupBy("doc_id").agg(
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("h")))).alias(
+            "fingerprint"
+        )
+    )

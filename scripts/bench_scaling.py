@@ -100,10 +100,10 @@ def run_build(zpath: Path, corpus: Path, cpus: int, shards: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--shards", type=int, default=256)
     ap.add_argument("--out", default=str(REPO / "BENCH" / "BASELINE.md"))
     args = ap.parse_args()
 
@@ -113,10 +113,11 @@ def main() -> None:
     gen_corpus_parquet(args.docs, corpus)
     zpath = make_engine_zip(work / "dist")
 
-    results: dict[int, list[dict]] = {}
-    for cpus in (args.low, args.high):
-        results[cpus] = []
-        for r in range(args.runs):
+    # Interleave low/high runs (ABAB…) so noisy-neighbor load on this
+    # shared host biases both configurations equally.
+    results: dict[int, list[dict]] = {args.low: [], args.high: []}
+    for r in range(args.runs):
+        for cpus in (args.low, args.high):
             m = run_build(zpath, corpus, cpus, args.shards)
             results[cpus].append(m)
             print(

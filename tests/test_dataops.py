@@ -1,0 +1,139 @@
+"""Training-data pipeline operators (dataops/): dedup, similarity,
+text stats, multimodal plumbing. Cross-engine parity is covered by the
+driver's DuckDB oracle; these tests pin the algebraic invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.dataops import dedup as D
+from fastcatsearch3_spark.dataops import multimodal as MM
+from fastcatsearch3_spark.dataops import similarity as SIM
+from fastcatsearch3_spark.dataops import textstats as TS
+
+CFG = EngineConfig()
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_with_planted_duplicates(spark, docs):
+    twice = docs.unionByName(
+        docs.limit(5).withColumn(
+            "doc_id", docs.doc_id + 1_000_000
+        )
+    )
+    out = D.exact_dedup(twice).toPandas()
+    assert (out["n_copies"] == 2).sum() == 5
+    # survivor is always the smaller doc_id (the original)
+    dups = out[out["n_copies"] == 2]
+    assert (dups["keep_id"] < 1_000_000).all()
+
+
+def test_minhash_candidates_subset_of_jaccard_domain(spark, docs):
+    """Every LSH candidate pair must carry the same verified Jaccard as the
+    exhaustive top-pairs relation (same pair → same score)."""
+    lsh = D.minhash_lsh_pairs(docs, CFG, top=1000).toPandas()
+    exact = D.jaccard_top_pairs(docs, CFG, top=10**6).toPandas()
+    merged = lsh.merge(exact, on=["doc_a", "doc_b"], suffixes=("_l", "_e"))
+    assert len(merged) == len(lsh)
+    assert (merged["jaccard_e4_l"] == merged["jaccard_e4_e"]).all()
+
+
+def test_planted_near_duplicate_is_found(spark, docs):
+    """A doc with one appended word (Jaccard ≈ 0.97 — high enough that the
+    16-hash/4-band LSH miss probability is ~2e-4) must surface in the
+    Jaccard top pairs, the MinHash-LSH candidates, and the SimHash pairs."""
+    row = docs.orderBy("doc_id").limit(1).toPandas().iloc[0]
+    words = row["text"].split() + ["zzzmutant"]
+    clone = pd.DataFrame(
+        [{
+            "doc_id": 9_999_999, "text": " ".join(words), "lang": row["lang"],
+            "source": row["source"], "n_chars": len(" ".join(words)),
+        }]
+    )
+    planted = docs.unionByName(spark.createDataFrame(clone))
+    top = D.jaccard_top_pairs(planted, CFG, top=50).toPandas()
+    mine = top[(top["doc_a"] == row["doc_id"]) & (top["doc_b"] == 9_999_999)]
+    assert len(mine) == 1 and mine.iloc[0]["jaccard_e4"] >= 9000
+    lsh = D.minhash_lsh_pairs(planted, CFG, top=50).toPandas()
+    assert ((lsh["doc_a"] == row["doc_id"]) & (lsh["doc_b"] == 9_999_999)).any()
+    # and simhash: hamming distance of the clone pair is far below random
+    sh = D.simhash_top_pairs(planted, CFG, top=50).toPandas()
+    pair = sh[(sh["doc_a"] == row["doc_id"]) & (sh["doc_b"] == 9_999_999)]
+    assert len(pair) == 1 and pair.iloc[0]["hamming"] <= 8
+
+
+def test_simhash_is_deterministic(spark, docs):
+    a = D.simhash(docs.limit(50), CFG).toPandas().set_index("doc_id")
+    b = D.simhash(docs.limit(50), CFG).toPandas().set_index("doc_id")
+    pd.testing.assert_frame_equal(a.sort_index(), b.sort_index())
+
+
+def test_lsh_ann_subset_of_brute_force(spark, emb):
+    """LSH results are exact cosine scores over a bucket subset: every hit
+    must appear in the brute-force ranking with the identical score."""
+    brute = SIM.brute_force_topk(emb, probe_id=0, k=10**6).toPandas()
+    lsh = SIM.lsh_ann_topk(emb, probe_id=0, k=100).toPandas()
+    merged = lsh.merge(brute, on="vec_id", suffixes=("_l", "_b"))
+    assert len(merged) == len(lsh) > 0
+    assert (merged["sim_e4_l"] == merged["sim_e4_b"]).all()
+
+
+def test_lang_id_prefers_english_on_english_stopwords(spark):
+    pdf = pd.DataFrame(
+        [
+            {"doc_id": 1, "text": "the cat of the house is in a tree",
+             "lang": "x", "source": "s", "n_chars": 1},
+            {"doc_id": 2, "text": "der hund ist ein und das haus zu",
+             "lang": "x", "source": "s", "n_chars": 1},
+            {"doc_id": 3, "text": "xyzzy qwerty", "lang": "x", "source": "s",
+             "n_chars": 1},
+        ]
+    )
+    out = (
+        TS.lang_id(spark.createDataFrame(pdf), CFG)
+        .toPandas()
+        .set_index("doc_id")["pred_lang"]
+    )
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_fingerprint_stable_and_set_determined(spark, docs):
+    """k-min fingerprints depend only on the shingle set: deterministic
+    across runs, and a doc_id-relabelled copy of a doc gets the identical
+    fingerprint."""
+    fp = TS.fingerprint(docs.limit(30), CFG).toPandas()
+    again = TS.fingerprint(docs.limit(30), CFG).toPandas()
+    assert fp.sort_values("doc_id").reset_index(drop=True).equals(
+        again.sort_values("doc_id").reset_index(drop=True)
+    )
+    relabeled = docs.limit(1).withColumn("doc_id", docs.doc_id + 777_000)
+    both = TS.fingerprint(docs.limit(1).unionByName(relabeled), CFG).toPandas()
+    assert both["fingerprint"].nunique() == 1 and len(both) == 2
+
+
+def test_multimodal_fake_decode_roundtrip(spark, docs):
+    out = MM.extract_features(docs.limit(20), kind="raw").toPandas()
+    assert len(out) == 20
+    assert (out["n_bytes"] > 0).all()
+    assert (out["width"] * out["height"] >= out["n_bytes"]).all()
+    feats = np.stack(out["feature"].to_numpy())
+    assert feats.shape == (20, 8)
+    assert np.allclose(feats.sum(axis=1), 1.0, atol=1e-3)
+
+
+def test_multimodal_missing_codec_raises(spark, docs):
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        MM.extract_features(docs.limit(1), kind="image").collect()
