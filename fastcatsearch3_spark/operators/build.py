@@ -4,10 +4,10 @@ Reference lifecycle being re-expressed (FullIndexJob → DataSourceReader →
 per-doc analysis → SegmentWriter memory-posting flush/merge →
 SegmentInfo registration [K]):
 
-    corpus ──shard window──▶ docmap(segment, shard, docno, doc_id, dl)
-           ──analyze(UDF→joined string)──▶ split/explode (JVM codegen)
-           ──repartition(shard, term) mapInPandas──▶ packed postings
-           ──write parquet + manifest JSON
+    corpus ──shard window──▶ staged sharded corpus (one shuffle, checkpointed)
+      stage A: staged ──analyze(UDF→joined string, dl)──▶ docmap parquet
+      stage B: staged ──mapInPandas tokenize+tf-combine──▶
+               ──repartition(shard, term) mapInPandas pack──▶ postings parquet
 
 Shuffle accounting (the 100 TB design constraint):
   * shuffle 1: repartition by shard for dense docno assignment (row_number
@@ -270,24 +270,35 @@ def build_segment(
     if corpus.rdd.getNumPartitions() < target:
         corpus = corpus.repartition(target)
 
+    # Stage pass — the only shuffle that carries content: shard + dense
+    # docno via the window, integrity-checked, written ONCE as a staged
+    # sharded corpus. Both downstream passes then read this columnar
+    # checkpoint with column pruning instead of re-running the window
+    # shuffle (which a second action would otherwise recompute — Spark does
+    # not reuse exchanges across jobs).
     w = Window.partitionBy("shard").orderBy("doc_id")
-    seg_base = corpus.withColumn(
-        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.num_shards)).cast("int")
-    ).withColumn("docno", (F.row_number().over(w) - 1).cast("long"))
-
-    toks = tokens_raw_column(cfg)
-    seg = seg_base.withColumn("toks", toks(F.col("content"))).withColumn(
-        "dl", dl_column("toks")
+    seg_base = (
+        corpus.withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.num_shards)).cast("int")
+        )
+        .withColumn("docno", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "shard",
+            "docno",
+            "doc_id",
+            # pk identifies the logical document across versions (J-7): a
+            # later segment carrying the same pk supersedes this row
+            # (DeleteIdSet semantics, core:ir.index.DeleteIdSet [K])
+            F.xxhash64("repo", "path").alias("pk_hash"),
+            "content_sha256",
+            "content",
+        )
     )
-
-    # Pass A — docmap: doc-level rows only (no token maps touch the disk).
-    # The per-row content_sha256 integrity gate (BASELINE.json input_hint)
-    # rides INSIDE this pass as a fused assert_true — no separate corpus
-    # scan. assert_true returns NULL (so isNull() keeps every row) and
-    # aborts the job on the first violating row.
-    src = seg
     if verify_integrity:
-        src = seg.where(
+        # fused per-row content_sha256 gate (BASELINE.json input_hint):
+        # assert_true returns NULL (isNull() keeps every row) and aborts
+        # the stage write on the first violating row
+        seg_base = seg_base.where(
             F.assert_true(
                 F.sha2(F.col("content"), 256) == F.col("content_sha256"),
                 F.concat(
@@ -296,28 +307,12 @@ def build_segment(
                 ),
             ).isNull()
         )
-    docmap = src.select(
-        F.lit(segment_id).cast("int").alias("segment_id"),
-        "shard",
-        "docno",
-        "doc_id",
-        # pk identifies the logical document across versions (J-7): a later
-        # segment carrying the same pk supersedes this row (DeleteIdSet
-        # semantics, core:ir.index.DeleteIdSet [K])
-        F.xxhash64("repo", "path").alias("pk_hash"),
-        "dl",
-        "content_sha256",
-    )
-    schemas.assert_schema(docmap, schemas.DOCMAP, "docmap")
-    # segment_id is carried by the partition directory, not a data column
-    # (writing both collides with Spark's partition-column inference).
-    docmap_path = str(root / "docmap" / f"segment_id={segment_id}")
+    staged_path = str(root / ".staged" / f"segment_id={segment_id}")
     try:
         (
-            docmap.drop("segment_id")
-            .sortWithinPartitions("shard", "docno")
+            seg_base.sortWithinPartitions("shard", "docno")
             .write.mode("overwrite")
-            .parquet(docmap_path)
+            .parquet(staged_path)
         )
     except Exception as e:  # surface the fused integrity gate as ValueError
         if "content_sha256 invariant violated" in str(e):
@@ -326,6 +321,25 @@ def build_segment(
                 f"({e})"
             ) from None
         raise
+    staged = spark.read.parquet(staged_path)
+
+    # Pass A — docmap: doc-level rows only; narrow scan → analyze (for dl)
+    # → write, no shuffle.
+    toks = tokens_raw_column(cfg)
+    docmap = staged.withColumn("toks", toks(F.col("content"))).select(
+        F.lit(segment_id).cast("int").alias("segment_id"),
+        "shard",
+        "docno",
+        "doc_id",
+        "pk_hash",
+        dl_column("toks").alias("dl"),
+        "content_sha256",
+    )
+    schemas.assert_schema(docmap, schemas.DOCMAP, "docmap")
+    # segment_id is carried by the partition directory, not a data column
+    # (writing both collides with Spark's partition-column inference).
+    docmap_path = str(root / "docmap" / f"segment_id={segment_id}")
+    docmap.drop("segment_id").write.mode("overwrite").parquet(docmap_path)
 
     # Segment stats from the just-written columnar docmap (fast scan, and it
     # audits what actually landed on disk rather than the in-flight plan).
@@ -346,7 +360,7 @@ def build_segment(
     # kernel (map-side combine), so the pack shuffle carries one compact
     # row per distinct (doc, term) and the JVM never explodes or
     # Arrow-serializes the raw occurrence stream.
-    tf_rows = seg_base.select("shard", "docno", "content").mapInPandas(
+    tf_rows = staged.select("shard", "docno", "content").mapInPandas(
         make_tokenize_combine_stream(cfg), TOKCOMBINE_SCHEMA
     )
 
@@ -364,6 +378,12 @@ def build_segment(
         .option("parquet.bloom.filter.enabled#term", "true")
         .parquet(postings_path)
     )
+
+    # drop the staged corpus checkpoint (transient; manifest-based resume
+    # restarts the whole segment, which is the unit of retry)
+    import shutil
+
+    shutil.rmtree(Path(staged_path), ignore_errors=True)
 
     elapsed = time.monotonic() - t0
     manifest = {

@@ -1,0 +1,89 @@
+"""Search-result highlighting / summary snippets (SURVEY.md F-7).
+
+Reference capability being re-expressed: fastcatsearch's
+BasicHighlightAndSummary (server:…BasicHighlightAndSummary [M per
+SURVEY.md]) — wrap matched terms in tags and cut a summary window around
+the densest match region. Implemented as ONE Arrow-batched pandas UDF over
+(content, query term list): vectorized per batch, regex work in pandas' C
+string paths, Python loop only over rows (string assembly is inherently
+per-row).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PRE_TAG = "<em>"
+POST_TAG = "</em>"
+
+
+def _compile(terms: tuple[str, ...]) -> re.Pattern:
+    alts = "|".join(sorted((re.escape(t) for t in set(terms)), key=len, reverse=True))
+    # token boundaries: the analyzer's token grammar is [a-z0-9]+ runs, so
+    # a match must not be embedded in a larger alphanumeric run
+    return re.compile(rf"(?<![a-z0-9])({alts})(?![a-z0-9])", re.IGNORECASE)
+
+
+def highlight_series(
+    content: pd.Series,
+    terms: tuple[str, ...],
+    summary_len: int = 120,
+) -> pd.Series:
+    """content → tagged snippet of ≤ summary_len chars centred on the
+    window with the most matches (ties → earliest)."""
+    if not terms:
+        return content.str.slice(0, summary_len)
+    pat = _compile(terms)
+
+    def one(text: str) -> str:
+        if not text:
+            return ""
+        hits = [m.start() for m in pat.finditer(text)]
+        if not hits:
+            return text[:summary_len]
+        # densest window: slide over match positions
+        best_i, best_n = 0, 1
+        j = 0
+        for i, start in enumerate(hits):
+            while hits[j] < start - summary_len + 1:
+                j += 1
+            n = i - j + 1
+            if n > best_n:
+                best_i, best_n = j, n
+        w0 = max(0, hits[best_i] - 10)
+        window = text[w0 : w0 + summary_len]
+        return pat.sub(rf"{PRE_TAG}\1{POST_TAG}", window)
+
+    return content.map(one)
+
+
+def highlight_udf(terms: list[str], summary_len: int = 120):
+    from pyspark.sql.functions import pandas_udf
+
+    tterms = tuple(terms)
+
+    @pandas_udf("string")
+    def hl(content: pd.Series) -> pd.Series:
+        return highlight_series(content, tterms, summary_len)
+
+    return hl
+
+
+def highlight_hits(
+    hits: DataFrame,
+    corpus: DataFrame,
+    terms: list[str],
+    summary_len: int = 120,
+    content_col: str = "content",
+) -> DataFrame:
+    """Join top-k hits back to stored content and add a ``snippet`` column
+    (Q-5 hydration + F-7 in one broadcast join — hits are ≤ k rows)."""
+    hl = highlight_udf(terms, summary_len)
+    return corpus.join(F.broadcast(hits), "doc_id").withColumn(
+        "snippet", hl(F.col(content_col))
+    )

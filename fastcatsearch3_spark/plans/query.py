@@ -25,15 +25,34 @@ class ParsedQuery:
     terms: list[str]
     not_terms: list[str] = field(default_factory=list)
     op: str = "AND"  # AND | OR
+    # synonym groups (F-6): groups[i] = group id of terms[i]; None = no
+    # expansion. Under AND, a group matches if ANY member term matches —
+    # the flat form of the reference's query-side AND(OR(syn…)) expansion.
+    groups: list[int] | None = None
 
     def __post_init__(self):
         if self.op not in ("AND", "OR"):
             raise ValueError(f"unsupported op: {self.op}")
+        if self.groups is not None and len(self.groups) != len(self.terms):
+            raise ValueError("groups must align with terms")
+
+    @property
+    def n_groups(self) -> int:
+        if self.groups is None:
+            return len(self.terms)
+        return len(set(self.groups))
 
 
-def parse_query(text: str, cfg: EngineConfig | None = None) -> ParsedQuery:
+def parse_query(
+    text: str,
+    cfg: EngineConfig | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> ParsedQuery:
     """Parse + analyze a query string (Q-1 then Q-2: the query side runs
-    the SAME analyzer as the index side — core:ir.analysis reuse [K])."""
+    the SAME analyzer as the index side — core:ir.analysis reuse [K]).
+    ``synonyms`` maps an analyzed term to expansion words (each re-analyzed),
+    mirroring the reference's query-side synonym dictionary
+    (core:ir.analysis synonym term option [M])."""
     cfg = cfg or EngineConfig()
     raw = text.split()
     op = "AND"
@@ -55,15 +74,36 @@ def parse_query(text: str, cfg: EngineConfig | None = None) -> ParsedQuery:
                 pos_words.append(w)
     neg_words = [w for w in neg_words if w != "\0PENDING"]
     terms: list[str] = []
+    groups: list[int] = []
+    gid = 0
     for w in pos_words:
-        terms.extend(tokenize_text(w, cfg))
+        for t in tokenize_text(w, cfg):
+            terms.append(t)
+            groups.append(gid)
+            if synonyms and t in synonyms:
+                for s in synonyms[t]:
+                    for st in tokenize_text(s, cfg):
+                        terms.append(st)
+                        groups.append(gid)
+            gid += 1
     nterms: list[str] = []
     for w in neg_words:
         nterms.extend(tokenize_text(w, cfg))
     # de-dup, order-preserving (duplicate query terms score once, matching
     # set-semantics BM25 — and the DuckDB oracle's DISTINCT term list)
     seen: set[str] = set()
-    terms = [t for t in terms if not (t in seen or seen.add(t))]
+    dedup_terms: list[str] = []
+    dedup_groups: list[int] = []
+    for t, g in zip(terms, groups):
+        if t not in seen:
+            seen.add(t)
+            dedup_terms.append(t)
+            dedup_groups.append(g)
     seen = set()
     nterms = [t for t in nterms if not (t in seen or seen.add(t))]
-    return ParsedQuery(terms=terms, not_terms=nterms, op=op)
+    return ParsedQuery(
+        terms=dedup_terms,
+        not_terms=nterms,
+        op=op,
+        groups=dedup_groups if synonyms else None,
+    )

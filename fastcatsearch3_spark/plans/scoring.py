@@ -141,6 +141,8 @@ def score_group(
     not_terms: list[TermPostings] | None = None,
     allow_docnos: np.ndarray | None = None,
     deny_docnos: np.ndarray | None = None,
+    groups: list[int] | None = None,
+    n_groups: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (segment, shard) group. Returns (docnos, scores) of the
     local top-k, score-desc / docno-asc ordered.
@@ -152,7 +154,13 @@ def score_group(
     not_terms = not_terms or []
     if not terms:
         return np.zeros(0, dtype=np.uint64), np.zeros(0)
-    if op == "AND" and mode == "bmw":
+    if groups is not None and op == "AND":
+        # synonym groups change the AND gate to per-group coverage; the
+        # blockwise intersection doesn't apply — exhaustive TAAT is exact
+        docnos, scores = _score_taat(
+            terms, op, k1, b, avgdl, groups=groups, n_groups=n_groups
+        )
+    elif op == "AND" and mode == "bmw":
         docnos, scores = _score_and_bmw(terms, k1, b, avgdl)
     elif mode == "bmw" and op == "OR":
         docnos, scores = _score_or_maxscore(
@@ -185,22 +193,46 @@ def score_group(
 
 
 def _score_taat(
-    terms: list[TermPostings], op: str, k1: float, b: float, avgdl: float
+    terms: list[TermPostings],
+    op: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+    groups: list[int] | None = None,
+    n_groups: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive TAAT over a dense shard-local accumulator. Terms are
-    accumulated in sorted-term order for deterministic float summation."""
+    accumulated in sorted-term order for deterministic float summation.
+
+    With ``groups`` (synonym expansion, F-6: groups[i] is term i's synonym
+    group), AND requires every GROUP to match (any member term counts) —
+    the flat clause-tree `AND(OR(syn...), ...)` semantics of the
+    reference's query-side synonym expansion (core:ir.analysis synonym
+    dict [M])."""
     size = 0
     decoded = []
-    for tp in sorted(terms, key=lambda t: t.term):
+    order = sorted(range(len(terms)), key=lambda i: terms[i].term)
+    for i in order:
+        tp = terms[i]
         d, t, l = decode_postings(tp.blob, tp.meta)
-        decoded.append((tp, d.astype(np.int64), t, l))
+        decoded.append((i, tp, d.astype(np.int64), t, l))
         size = max(size, int(d[-1]) + 1)
     acc = np.zeros(size, dtype=np.float64)
     hits = np.zeros(size, dtype=np.int32)
-    for tp, d, t, l in decoded:
+    group_docs: dict[int, list[np.ndarray]] = {}
+    for i, tp, d, t, l in decoded:
         acc[d] += tp.idf * bm25_tf_norm(t, l, k1, b, avgdl)
-        hits[d] += 1
-    need = len(terms) if op == "AND" else 1
+        if groups is None:
+            hits[d] += 1
+        else:
+            group_docs.setdefault(groups[i], []).append(d)
+    if groups is not None:
+        for arrs in group_docs.values():
+            u = np.unique(np.concatenate(arrs))
+            hits[u] += 1
+        need = (n_groups if n_groups is not None else len(group_docs)) if op == "AND" else 1
+    else:
+        need = len(terms) if op == "AND" else 1
     cand = np.nonzero(hits >= need)[0]
     return cand.astype(np.uint64), acc[cand]
 

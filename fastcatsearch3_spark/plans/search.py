@@ -51,6 +51,8 @@ def _make_kernel(
     n_required: int,
     with_mask: bool,
     allow_active: bool,
+    term_groups: dict[str, int] | None = None,
+    n_groups: int | None = None,
 ):
     """Build the per-(segment, shard) scoring function (U-5)."""
 
@@ -68,12 +70,24 @@ def _make_kernel(
             return _EMPTY
         seg = int(pdf["segment_id"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
-        pos_tps, neg_tps = [], []
+        pos_tps, neg_tps, pos_groups = [], [], []
         for term, blob in zip(pdf["term"], pdf["postings"]):
             tp = TermPostings(term=term, idf=qidf.get(term, 0.0), blob=bytes(blob))
-            (neg_tps if term in not_terms else pos_tps).append(tp)
-        if op == "AND" and len(pos_tps) < n_required:
-            return _EMPTY  # some required term absent in this shard → no hits
+            if term in not_terms:
+                neg_tps.append(tp)
+            else:
+                pos_tps.append(tp)
+                if term_groups is not None:
+                    pos_groups.append(term_groups[term])
+        if op == "AND":
+            # required coverage in this shard: every term (or, with synonym
+            # groups, every group) must have at least one posting list here
+            covered = (
+                len(set(pos_groups)) if term_groups is not None else len(pos_tps)
+            )
+            required = n_groups if term_groups is not None else n_required
+            if covered < required:
+                return _EMPTY
         if not pos_tps:
             return _EMPTY
         allow = deny = None
@@ -101,6 +115,8 @@ def _make_kernel(
             not_terms=neg_tps,
             allow_docnos=allow,
             deny_docnos=deny,
+            groups=pos_groups if term_groups is not None else None,
+            n_groups=n_groups,
         )
         return pd.DataFrame(
             {
@@ -152,10 +168,23 @@ def search_index(
         .collect()
     )
     dfmap = {r["term"]: r["df"] for r in lex}
-    missing = [t for t in pq.terms if t not in dfmap]
-    if pq.op == "AND" and missing:
-        return spark.createDataFrame([], "doc_id long, score double")
+    if pq.op == "AND":
+        if pq.groups is None:
+            if any(t not in dfmap for t in pq.terms):
+                return spark.createDataFrame([], "doc_id long, score double")
+        else:
+            # synonym groups: AND fails only if a whole group is missing
+            present_groups = {
+                g for t, g in zip(pq.terms, pq.groups) if t in dfmap
+            }
+            if len(present_groups) < pq.n_groups:
+                return spark.createDataFrame([], "doc_id long, score double")
     terms = [t for t in pq.terms if t in dfmap]
+    term_groups = (
+        {t: g for t, g in zip(pq.terms, pq.groups) if t in dfmap}
+        if pq.groups is not None
+        else None
+    )
     not_terms = [t for t in pq.not_terms if t in dfmap]
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -203,6 +232,8 @@ def search_index(
         n_required=len(terms),
         with_mask=bool(masks),
         allow_active=allow_doc_ids is not None,
+        term_groups=term_groups,
+        n_groups=pq.n_groups if term_groups is not None else None,
     )
     if masks:
         mask_df = masks[0]

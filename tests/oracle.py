@@ -28,9 +28,15 @@ def bm25_topk_oracle(
     cfg: EngineConfig | None = None,
     allow_doc_ids: set[int] | None = None,
     not_terms: list[str] | None = None,
+    groups: list[int] | None = None,
 ) -> pd.DataFrame:
-    """Returns DataFrame (doc_id, score) — top-k, score desc / doc_id asc."""
+    """Returns DataFrame (doc_id, score) — top-k, score desc / doc_id asc.
+    With ``groups`` (synonym expansion, aligned with ``terms``), AND
+    requires every group matched by ≥1 member term."""
     cfg = cfg or EngineConfig()
+    if groups is not None:
+        assert len(groups) == len(terms)
+        gmap = dict(zip(terms, groups))
     terms = list(dict.fromkeys(terms))
     not_terms = list(dict.fromkeys(not_terms or []))
     tok = ANALYZERS[cfg.analyzer](docs["content"], cfg)
@@ -52,6 +58,7 @@ def bm25_topk_oracle(
 
     scores: dict[int, float] = {}
     hit_terms: dict[int, int] = {}
+    hit_groups: dict[int, set] = {}
     for i, term, tfv in rows:
         dfv = dfmap[term]
         idf = math.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
@@ -60,8 +67,10 @@ def bm25_topk_oracle(
         )
         scores[i] = scores.get(i, 0.0) + s
         hit_terms[i] = hit_terms.get(i, 0) + 1
+        if groups is not None:
+            hit_groups.setdefault(i, set()).add(gmap[term])
 
-    matched_terms = [t for t in terms if dfmap.get(t, 0) > 0]
+    need_groups = len(set(groups)) if groups is not None else None
     items = []
     excluded: set[int] = set()
     if not_terms:
@@ -69,8 +78,12 @@ def bm25_topk_oracle(
             if c:
                 excluded.add(i)
     for i, s in scores.items():
-        if op == "AND" and hit_terms[i] < len(terms):
-            continue
+        if op == "AND":
+            if groups is not None:
+                if len(hit_groups.get(i, ())) < need_groups:
+                    continue
+            elif hit_terms[i] < len(terms):
+                continue
         if i in excluded:
             continue
         did = int(doc_ids[i])
