@@ -416,6 +416,18 @@ def _q_match_boost(spark, sf_dir):  # P-6 MATCH_BOOST: additive score bump, no r
     )
 
 
+_SYN = {"spark": ["vector"], "merge": ["join"]}
+
+
+def _q_bm25_synonyms(spark, sf_dir):  # F-6 synonym groups: AND over groups
+    from fastcatsearch3_spark.plans.query import parse_query
+
+    store = _packed_store(spark, sf_dir)
+    pq = parse_query("spark merge", CFG, synonyms=_SYN)
+    hits = search_index(spark, store, pq, k=_K)
+    return hits.select("doc_id", _e4())
+
+
 def _q_search_hydrate(spark, sf_dir):  # Q-5 result hydration (stored fields)
     store = _packed_store(spark, sf_dir)
     hits = search_index(spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), k=_K)
@@ -463,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": _q_rollup_counts,
         "window_lag": _q_window_lag,
         "match_boost": _q_match_boost,
+        "bm25_synonyms": _q_bm25_synonyms,
         "search_hydrate": _q_search_hydrate,
     }
 
@@ -801,4 +814,27 @@ ORDER BY boosted_e4 DESC, doc_id ASC LIMIT {_K}
             f" ({_bm25_sql(_Q_AND2, 'AND', _K, order_raw=True)}) f"
             " JOIN documents d USING (doc_id)"
         ),
+        # F-6 synonym-group BM25: term → group, AND gate = every group
+        # matched by >= 1 member (count(DISTINCT grp) = n_groups)
+        "bm25_synonyms": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qterms(term, grp) AS (VALUES ('spark', 0), ('vector', 0),
+                             ('merge', 1), ('join', 1)),
+qtf AS (SELECT t.doc_id, t.term, t.tf, q.grp
+        FROM tf t JOIN qterms q ON t.term = q.term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.grp,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score,
+               count(DISTINCT grp) AS ng FROM scored GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM agg WHERE ng = 2
+ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
     }
