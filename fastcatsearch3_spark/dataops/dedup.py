@@ -57,43 +57,66 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 # shingle relation — base for Jaccard / MinHash
 # ---------------------------------------------------------------------------
 
-def shingles(docs: DataFrame, cfg: EngineConfig | None = None, n: int = 3) -> DataFrame:
-    """(doc_id, shingle): DISTINCT word n-gram shingles over the analyzed
-    token stream. At scale this relation is ~dl rows per doc; it shuffles
-    once per consumer (join/agg) and never materializes per-doc sets."""
+def shingles(
+    docs: DataFrame, cfg: EngineConfig | None = None, n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, shingle): word n-gram shingles over the analyzed token
+    stream, DISTINCT per doc by default. At scale this relation is ~dl rows
+    per doc; it shuffles once per consumer (join/agg) and never
+    materializes per-doc sets. Consumers whose aggregates are duplicate-
+    insensitive (min() for MinHash, collect_set for the verify) pass
+    ``distinct=False`` and skip the dedup shuffle entirely."""
     cfg = cfg or EngineConfig()
     toks = tokens_raw_column(cfg)
     parts = ", ".join(f"toks[i + {k}]" for k in range(n))
     sh = F.expr(
         f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {parts}))"
     )
-    return (
+    out = (
         docs.withColumn("toks", toks(F.col("text")))
         .where(F.size("toks") >= n)
         .where(F.col("toks")[0] != "")  # all-empty token stream guard
         .select("doc_id", F.explode_outer(sh).alias("shingle"))
         .where(F.col("shingle").isNotNull())
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
-def _pair_jaccard(sh: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, inter, union, jaccard) for every pair sharing ≥1
-    shingle. The self-join shuffles on shingle — Zipf-hot shingles would
-    skew it, so AQE skew-join stays on; a stop-shingle df cap (drop
-    shingles with df > threshold) is the standard scale mitigation and is
-    what minhash_lsh_pairs' banding achieves implicitly."""
+def _pair_jaccard(sh: DataFrame, cand: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, inter, union, jaccard). Without ``cand``: every pair
+    sharing ≥1 shingle (the all-pairs correctness baseline — the self-join
+    shuffles on shingle; Zipf-hot shingles would skew it, so AQE skew-join
+    stays on). With ``cand`` (doc_a, doc_b — an LSH candidate set): exact
+    Jaccard restricted to those pairs — the shingle relation is first
+    semi-joined down to candidate doc_ids, and the pair restriction is
+    applied BEFORE the intersection groupBy, so total cost is proportional
+    to the candidates' shingles, never all pairs."""
+    if cand is not None:
+        cand_docs = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        # the restricted relation is small (candidates' shingles) and is
+        # read 3× below (sizes + both self-join sides) — pin it so the
+        # analyzer/shingle pipeline runs once, not per reference
+        sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").localCheckpoint(
+            eager=False
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
+    pairs = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("inter"))
     )
+    if cand is not None:
+        pairs = pairs.join(F.broadcast(cand), ["doc_a", "doc_b"], "left_semi")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sz", "sz_a")
@@ -132,11 +155,14 @@ def jaccard_top_pairs(
 def minhash_signatures(
     docs: DataFrame, cfg: EngineConfig | None = None, n: int = 3,
     num_hashes: int = NUM_HASHES,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig_0..sig_{K-1}): K-permutation MinHash signature in the
     portable md5-string form. One aggregate pass over the shingle relation
-    (K min() columns — map-side combinable, no shuffle amplification)."""
-    sh = shingles(docs, cfg, n)
+    (K min() columns — map-side combinable, no shuffle amplification).
+    Pass ``sh`` to reuse an already-computed shingle relation."""
+    if sh is None:
+        sh = shingles(docs, cfg, n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
         for i in range(num_hashes)
@@ -160,7 +186,17 @@ def minhash_lsh_pairs(
     shingle self-join's scalable replacement). Output:
     doc_a, doc_b, jaccard_e4 — top-N by verified similarity."""
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, cfg, n, num_hashes)
+    # ONE shingle materialization (≈ token stream size, executor-local)
+    # feeds both the signature aggregate and the candidate verify below —
+    # without it the analyzer+shingle pipeline would re-run once per
+    # consumer. On a cluster this is the natural "shingles table" step of
+    # any MinHash pipeline (disk ∝ corpus, read twice).
+    sh = shingles(docs, cfg, n, distinct=False).localCheckpoint(eager=False)
+    # one row per doc, K short strings — pinned so the per-band selects
+    # read one materialization instead of re-running the aggregate per band
+    sig = minhash_signatures(docs, cfg, n, num_hashes, sh=sh).localCheckpoint(
+        eager=False
+    )
     band_rows = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
@@ -184,7 +220,43 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    verified = cand.join(_pair_jaccard(shingles(docs, cfg, n)), ["doc_a", "doc_b"])
+    # the candidate set is tiny (≈ true near-dups) but its lineage is the
+    # whole signature pipeline; it is referenced three times below, so pin
+    # it once (lazy local checkpoint) instead of recomputing MinHash 3×
+    cand = cand.localCheckpoint(eager=False)
+    # Verify restricted to the LSH candidates — cost ∝ candidates, not all
+    # pairs (the full _pair_jaccard here would re-run the shingle self-join
+    # LSH exists to avoid). Shape: per-candidate-doc shingle SETS (bounded
+    # by |candidates| × dl) + two broadcast joins of the tiny pair list;
+    # exact Jaccard via array_intersect. No pair self-join, no pair groupBy.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+    )
+    docsets = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shset"))
+        .localCheckpoint(eager=False)  # read twice below (a-side, b-side)
+    )
+    verified = (
+        docsets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
+        .join(F.broadcast(cand), "doc_a")
+        .join(
+            F.broadcast(
+                docsets.select(
+                    F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b")
+                )
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("set_a") + F.size("set_b") - F.col("inter")),
+        )
+    )
     return (
         verified.select(
             "doc_a",
@@ -203,8 +275,16 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, cfg: EngineConfig | None = None,
             bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): tf-weighted bit-vote SimHash over md5(term) bits,
-    packed into a signed BIGINT (63 bits). Two hash aggregates — scales
-    like a word count. Ties (vote sum == 0) resolve to bit 0."""
+    packed into a signed BIGINT (63 bits). Ties (vote sum == 0) resolve to
+    bit 0.
+
+    Shape: ONE hash aggregate with ``bits`` conditional-sum columns over
+    the (doc, term, tf) relation — no row explosion. (The previous design
+    exploded 63 rows per (doc, term) before aggregating, a 63× shuffle-row
+    amplification of the token stream; wide codegen'd aggregates compute
+    the identical integer votes with zero amplification.) Bit j of md5 is
+    bit (3 - j%4) of hex digit j//4; the 16 digit values are projected
+    once and each vote column reads its digit."""
     cfg = cfg or EngineConfig()
     toks = tokens_raw_column(cfg)
     tf = (
@@ -215,31 +295,33 @@ def simhash(docs: DataFrame, cfg: EngineConfig | None = None,
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.md5("term"))
     )
-    # bit j of md5: hex digit j//4, bit (3 - j%4) — one expr so the SQL
-    # oracle mirrors it verbatim
-    votes = tf.select(
-        "doc_id",
-        "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-    ).withColumn(
-        "bit",
-        F.expr(
-            "(shiftright(instr('0123456789abcdef',"
-            " substring(h, cast(j / 4 as int) + 1, 1)) - 1,"
-            " 3 - cast(j % 4 as int))) & 1"
-        ),
-    )
-    bitcols = votes.groupBy("doc_id", "j").agg(
-        F.sum(F.col("tf") * (F.col("bit") * 2 - 1)).alias("vote")
-    )
-    return bitcols.groupBy("doc_id").agg(
+    ndigits = (bits + 3) // 4
+    digit_cols = {
+        f"d_{i}": F.expr(
+            f"instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1"
+        )
+        for i in range(ndigits)
+    }
+    tf = tf.withColumns(digit_cols)
+    vote_aggs = [
         F.sum(
-            F.when(
-                F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), j)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.col("tf")
+            * (
+                F.shiftright(F.col(f"d_{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            )
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    votes = tf.groupBy("doc_id").agg(*vote_aggs)
+    packed = None
+    for j in range(bits):
+        term = F.when(
+            F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return votes.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_top_pairs(
@@ -251,7 +333,9 @@ def simhash_top_pairs(
     Output: doc_a, doc_b, hamming."""
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(docs, cfg, bits)
+    # (doc_id, int64) — pinned once; referenced by 3 band selects + the
+    # two hamming-join sides below
+    sh = simhash(docs, cfg, bits).localCheckpoint(eager=False)
     banded = None
     for b in range(bands):
         part = sh.select(
