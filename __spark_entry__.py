@@ -53,16 +53,33 @@ def _e4(col: str = "score") -> F.Column:
     return F.round(F.col(col) * 10000).cast("long").alias(f"{col}_e4")
 
 
-def _packed_store(spark: SparkSession, sf_dir: str) -> IndexStore:
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the source parquet (sizes + mtimes) —
+    folded into the index-cache key so regenerated testdata at the same
+    path can never silently reuse a stale cached index (ADVICE r01)."""
+    p = Path(sf_dir) / "documents.parquet"
+    files = sorted(p.rglob("*")) if p.is_dir() else [p]
+    parts = []
+    for f in files:
+        if f.is_file():
+            st = f.stat()
+            parts.append(f"{f.name}:{st.st_size}:{st.st_mtime_ns}")
+    return "|".join(parts)
+
+
+def _packed_store(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = CFG, tag: str = ""
+) -> IndexStore:
     """Build (or resume) the packed index for a testdata dir.
 
-    Cached on disk keyed by (sf_dir, engine config); ``build_index`` is
-    manifest-resumable, so a warm cache skips all heavy work (I-8)."""
+    Cached on disk keyed by (sf_dir, source fingerprint, engine config,
+    tag); ``build_index`` is manifest-resumable, so a warm cache skips all
+    heavy work (I-8)."""
     key = hashlib.sha256(
-        f"{sf_dir}|{sorted(CFG.to_dict().items())}".encode()
+        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{sorted(cfg.to_dict().items())}|{tag}".encode()
     ).hexdigest()[:16]
     root = Path(tempfile.gettempdir()) / "fcs3_index_cache" / key
-    build_index(spark, _corpus(spark, sf_dir), str(root), CFG, resume=True)
+    build_index(spark, _corpus(spark, sf_dir), str(root), cfg, resume=True)
     return IndexStore(str(root))
 
 

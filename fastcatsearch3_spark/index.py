@@ -25,9 +25,40 @@ from pyspark.sql import DataFrame, SparkSession
 from fastcatsearch3_spark.config import EngineConfig
 
 
+def recover_interrupted_compact(root: str | Path) -> bool:
+    """Roll back a compaction swap that crashed mid-window (ST-4).
+
+    The swap protocol (streaming/incremental.compact) renames live dirs to
+    ``<sub>.old``, renames the new dirs in, then deletes the ``.old``
+    copies. Commit point: BOTH ``postings`` and ``docmap`` exist. Before
+    that point this rolls BACK (delete partial new dirs, restore ``.old``);
+    after it, it just clears ``.old`` leftovers. Returns True if anything
+    was repaired."""
+    import shutil
+
+    root = Path(root)
+    subs = ("postings", "docmap", "deletes", "manifest")
+    olds = [s for s in subs if (root / f"{s}.old").exists()]
+    if not olds:
+        return False
+    committed = (root / "postings").exists() and (root / "docmap").exists()
+    if committed:
+        for s in olds:
+            shutil.rmtree(root / f"{s}.old", ignore_errors=True)
+        return True
+    for s in ("postings", "docmap"):
+        if s in olds and (root / s).exists():
+            shutil.rmtree(root / s)  # partial new dir — discard
+    for s in olds:
+        if not (root / s).exists():
+            (root / f"{s}.old").rename(root / s)
+    return True
+
+
 class IndexStore:
     def __init__(self, root: str):
         self.root = str(root)
+        recover_interrupted_compact(self.root)
 
     def _p(self, *parts: str) -> str:
         return str(Path(self.root, *parts))

@@ -24,9 +24,12 @@ POST_TAG = "</em>"
 
 def _compile(terms: tuple[str, ...]) -> re.Pattern:
     alts = "|".join(sorted((re.escape(t) for t in set(terms)), key=len, reverse=True))
-    # token boundaries: the analyzer's token grammar is [a-z0-9]+ runs, so
-    # a match must not be embedded in a larger alphanumeric run
-    return re.compile(rf"(?<![a-z0-9])({alts})(?![a-z0-9])", re.IGNORECASE)
+    # token boundaries: the analyzer's token grammar is [a-z0-9]+ runs over
+    # LOWERCASED text, and term matching here is IGNORECASE — so the
+    # boundary classes must be case-insensitive too ([a-zA-Z0-9]); with
+    # lowercase-only classes a term embedded in an UPPERCASE run (e.g.
+    # 'spark' in 'XSPARKX') would wrongly read as boundary-delimited
+    return re.compile(rf"(?<![a-zA-Z0-9])({alts})(?![a-zA-Z0-9])", re.IGNORECASE)
 
 
 def highlight_series(

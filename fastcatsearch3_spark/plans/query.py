@@ -25,22 +25,29 @@ class ParsedQuery:
     terms: list[str]
     not_terms: list[str] = field(default_factory=list)
     op: str = "AND"  # AND | OR
-    # synonym groups (F-6): groups[i] = group id of terms[i]; None = no
+    # synonym groups (F-6): groups[i] = tuple of EVERY group id terms[i]
+    # belongs to (a term may be a member of several groups when it appears
+    # both as a query word and as another word's synonym); None = no
     # expansion. Under AND, a group matches if ANY member term matches —
     # the flat form of the reference's query-side AND(OR(syn…)) expansion.
-    groups: list[int] | None = None
+    groups: list[tuple[int, ...]] | None = None
 
     def __post_init__(self):
         if self.op not in ("AND", "OR"):
             raise ValueError(f"unsupported op: {self.op}")
-        if self.groups is not None and len(self.groups) != len(self.terms):
-            raise ValueError("groups must align with terms")
+        if self.groups is not None:
+            if len(self.groups) != len(self.terms):
+                raise ValueError("groups must align with terms")
+            # normalize: ints → 1-tuples, lists → tuples
+            self.groups = [
+                (g,) if isinstance(g, int) else tuple(g) for g in self.groups
+            ]
 
     @property
     def n_groups(self) -> int:
         if self.groups is None:
             return len(self.terms)
-        return len(set(self.groups))
+        return len({gid for gs in self.groups for gid in gs})
 
 
 def parse_query(
@@ -90,17 +97,24 @@ def parse_query(
     for w in neg_words:
         nterms.extend(tokenize_text(w, cfg))
     # de-dup, order-preserving (duplicate query terms score once, matching
-    # set-semantics BM25 — and the DuckDB oracle's DISTINCT term list)
-    seen: set[str] = set()
+    # set-semantics BM25 — and the DuckDB oracle's DISTINCT term list).
+    # A term kept once must still credit EVERY group it belongs to (it may
+    # be both a query word and another word's synonym), so group ids are
+    # MERGED per term rather than first-wins.
+    seen: dict[str, int] = {}
     dedup_terms: list[str] = []
-    dedup_groups: list[int] = []
+    dedup_groups: list[tuple[int, ...]] = []
     for t, g in zip(terms, groups):
-        if t not in seen:
-            seen.add(t)
+        if t in seen:
+            prev = dedup_groups[seen[t]]
+            if g not in prev:
+                dedup_groups[seen[t]] = prev + (g,)
+        else:
+            seen[t] = len(dedup_terms)
             dedup_terms.append(t)
-            dedup_groups.append(g)
-    seen = set()
-    nterms = [t for t in nterms if not (t in seen or seen.add(t))]
+            dedup_groups.append((g,))
+    nseen: set[str] = set()
+    nterms = [t for t in nterms if not (t in nseen or nseen.add(t))]
     return ParsedQuery(
         terms=dedup_terms,
         not_terms=nterms,

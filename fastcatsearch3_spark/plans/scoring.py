@@ -141,7 +141,7 @@ def score_group(
     not_terms: list[TermPostings] | None = None,
     allow_docnos: np.ndarray | None = None,
     deny_docnos: np.ndarray | None = None,
-    groups: list[int] | None = None,
+    groups: list[tuple[int, ...]] | None = None,
     n_groups: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (segment, shard) group. Returns (docnos, scores) of the
@@ -198,14 +198,14 @@ def _score_taat(
     k1: float,
     b: float,
     avgdl: float,
-    groups: list[int] | None = None,
+    groups: list[tuple[int, ...]] | None = None,
     n_groups: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive TAAT over a dense shard-local accumulator. Terms are
     accumulated in sorted-term order for deterministic float summation.
 
-    With ``groups`` (synonym expansion, F-6: groups[i] is term i's synonym
-    group), AND requires every GROUP to match (any member term counts) —
+    With ``groups`` (synonym expansion, F-6: groups[i] is the tuple of term
+    i's synonym group ids), AND requires every GROUP to match (any member term counts) —
     the flat clause-tree `AND(OR(syn...), ...)` semantics of the
     reference's query-side synonym expansion (core:ir.analysis synonym
     dict [M])."""
@@ -225,7 +225,9 @@ def _score_taat(
         if groups is None:
             hits[d] += 1
         else:
-            group_docs.setdefault(groups[i], []).append(d)
+            # a term credits EVERY synonym group it belongs to
+            for gid in groups[i]:
+                group_docs.setdefault(gid, []).append(d)
     if groups is not None:
         for arrs in group_docs.values():
             u = np.unique(np.concatenate(arrs))

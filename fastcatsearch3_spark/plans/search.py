@@ -83,7 +83,9 @@ def _make_kernel(
             # required coverage in this shard: every term (or, with synonym
             # groups, every group) must have at least one posting list here
             covered = (
-                len(set(pos_groups)) if term_groups is not None else len(pos_tps)
+                len({gid for gs in pos_groups for gid in gs})
+                if term_groups is not None
+                else len(pos_tps)
             )
             required = n_groups if term_groups is not None else n_required
             if covered < required:
@@ -174,8 +176,10 @@ def search_index(
                 return spark.createDataFrame([], "doc_id long, score double")
         else:
             # synonym groups: AND fails only if a whole group is missing
+            # (a term credits every group it belongs to)
             present_groups = {
-                g for t, g in zip(pq.terms, pq.groups) if t in dfmap
+                gid for t, gs in zip(pq.terms, pq.groups) if t in dfmap
+                for gid in gs
             }
             if len(present_groups) < pq.n_groups:
                 return spark.createDataFrame([], "doc_id long, score double")

@@ -120,26 +120,37 @@ def append_segment(
     next_id = (max(segs) + 1) if segs else 0
 
     batch = dedup_latest(normalize_corpus(new_docs))
-    if segs:
-        pks = batch.select(F.xxhash64("repo", "path").alias("pk_hash")).distinct()
-        old = (
-            store.docmap(spark)
-            .join(pks, "pk_hash", "left_semi")
-            .select("doc_id", F.lit(next_id).cast("int").alias("segment_id"))
-            .distinct()
-        )
-        n_tombstones = _append_deletes(spark, index_root, old)
-    else:
-        n_tombstones = 0
 
+    # Crash-safety ordering (ADVICE r01): the replacement segment is built
+    # and its manifest PUBLISHED before any tombstone is written. A crash
+    # mid-build therefore leaves the old copies fully live (duplicates on
+    # retry are resolved by the tombstones written at the end) — the
+    # previous order durably masked the old copies first, so a crash
+    # between tombstone-write and segment-publish made those documents
+    # invisible with no live replacement.
     manifest = build_segment(
         spark,
         batch,
         index_root,
         cfg,
         segment_id=next_id,
-        lineage={"kind": "incremental", "tombstones": n_tombstones},
+        lineage={"kind": "incremental"},
     )
+    if segs:
+        pks = batch.select(F.xxhash64("repo", "path").alias("pk_hash")).distinct()
+        old = (
+            store.docmap(spark)
+            # the docmap now includes segment next_id itself — restrict to
+            # strictly older segments (the search mask is < anyway; this
+            # just avoids writing no-op tombstone rows for the new copies)
+            .where(F.col("segment_id") < next_id)
+            .join(pks, "pk_hash", "left_semi")
+            .select("doc_id", F.lit(next_id).cast("int").alias("segment_id"))
+            .distinct()
+        )
+        n_tombstones = _append_deletes(spark, index_root, old)
+        manifest["lineage"]["tombstones"] = n_tombstones
+        write_manifest(index_root, next_id, manifest)
     publish_lexicon(spark, index_root, cfg, n_segments=next_id + 1)
     return manifest
 
@@ -300,11 +311,21 @@ def compact(
     )
     n_docs = spark.read.parquet(str(tmp / "docmap" / "segment_id=0")).count()
 
-    # atomic-ish swap (directory renames on the same filesystem)
-    for sub in ("postings", "docmap", "deletes", "manifest"):
-        shutil.rmtree(root / sub, ignore_errors=True)
+    # Crash-safe swap (ADVICE r01): the live directories are renamed ASIDE
+    # (.old suffix) first, the new ones renamed in, and only then are the
+    # .old copies deleted. A crash anywhere in the window leaves either
+    # the old index intact or both copies on disk — never an index with no
+    # postings/docmap. recover_interrupted_compact() (called by IndexStore)
+    # rolls an interrupted swap back to the .old copies on next open.
+    swap_subs = ("postings", "docmap", "deletes", "manifest")
+    for sub in swap_subs:
+        if (root / sub).exists():
+            shutil.rmtree(root / f"{sub}.old", ignore_errors=True)
+            (root / sub).rename(root / f"{sub}.old")
     (tmp / "postings").rename(root / "postings")
     (tmp / "docmap").rename(root / "docmap")
+    for sub in swap_subs:
+        shutil.rmtree(root / f"{sub}.old", ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
 
     elapsed = time.monotonic() - t0

@@ -36,7 +36,13 @@ def bm25_topk_oracle(
     cfg = cfg or EngineConfig()
     if groups is not None:
         assert len(groups) == len(terms)
-        gmap = dict(zip(terms, groups))
+        # a term credits EVERY group it belongs to (same rule as the
+        # engine's parse_query group merge — a query word that is also
+        # another word's synonym satisfies both AND gates)
+        gmap: dict[str, set] = {}
+        for t, g in zip(terms, groups):
+            gids = (g,) if isinstance(g, int) else tuple(g)
+            gmap.setdefault(t, set()).update(gids)
     terms = list(dict.fromkeys(terms))
     not_terms = list(dict.fromkeys(not_terms or []))
     tok = ANALYZERS[cfg.analyzer](docs["content"], cfg)
@@ -68,9 +74,13 @@ def bm25_topk_oracle(
         scores[i] = scores.get(i, 0.0) + s
         hit_terms[i] = hit_terms.get(i, 0) + 1
         if groups is not None:
-            hit_groups.setdefault(i, set()).add(gmap[term])
+            hit_groups.setdefault(i, set()).update(gmap[term])
 
-    need_groups = len(set(groups)) if groups is not None else None
+    need_groups = (
+        len({gid for gs in gmap.values() for gid in gs})
+        if groups is not None
+        else None
+    )
     items = []
     excluded: set[int] = set()
     if not_terms:

@@ -175,3 +175,45 @@ def test_streaming_available_now(spark, base_pd, tmp_path):
         spark, str(drop), root, checkpoint_dir=str(tmp_path / "ckpt"), cfg=CFG
     )
     assert IndexStore(root).segments() == [0, 1]
+
+
+def test_recover_interrupted_compact(tmp_path):
+    """Swap-crash recovery (ADVICE r01): mid-window states roll back to
+    the .old copies; post-commit states just clear leftovers."""
+    from fastcatsearch3_spark.index import recover_interrupted_compact
+
+    def mk(root, names):
+        for n in names:
+            d = root / n
+            d.mkdir(parents=True)
+            (d / "marker").write_text(n)
+
+    # state 1: only postings renamed aside (crash before new rename-in)
+    r1 = tmp_path / "s1"
+    mk(r1, ["postings.old", "docmap", "deletes", "manifest"])
+    assert recover_interrupted_compact(r1)
+    assert (r1 / "postings" / "marker").read_text() == "postings.old"
+    assert not (r1 / "postings.old").exists()
+
+    # state 2: all aside, new postings in, crash before new docmap in —
+    # partial new postings must be discarded, old everything restored
+    r2 = tmp_path / "s2"
+    mk(r2, ["postings.old", "docmap.old", "deletes.old", "manifest.old"])
+    mk(r2, ["postings"])  # the new, partial copy
+    assert recover_interrupted_compact(r2)
+    assert (r2 / "postings" / "marker").read_text() == "postings.old"
+    assert (r2 / "docmap" / "marker").read_text() == "docmap.old"
+    assert (r2 / "deletes").exists() and (r2 / "manifest").exists()
+
+    # state 3: committed (both new dirs in), .old leftovers cleared
+    r3 = tmp_path / "s3"
+    mk(r3, ["postings", "docmap", "deletes.old", "manifest.old"])
+    assert recover_interrupted_compact(r3)
+    assert (r3 / "postings" / "marker").read_text() == "postings"
+    assert not (r3 / "deletes.old").exists()
+    assert not (r3 / "deletes").exists()  # new epoch starts tombstone-free
+
+    # state 4: clean index — no-op
+    r4 = tmp_path / "s4"
+    mk(r4, ["postings", "docmap"])
+    assert not recover_interrupted_compact(r4)

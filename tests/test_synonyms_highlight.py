@@ -36,8 +36,35 @@ def docs_pd(spark):
 def test_parse_query_synonym_groups():
     pq = parse_query("spark merge", CFG, synonyms=SYN)
     assert pq.terms == ["spark", "vector", "merge", "join"]
-    assert pq.groups == [0, 0, 1, 1]
+    assert pq.groups == [(0,), (0,), (1,), (1,)]
     assert pq.n_groups == 2
+
+
+def test_parse_query_overlapping_groups():
+    """A query word that is also another word's synonym must credit BOTH
+    groups (ADVICE r01: first-wins dedup made it stricter than the
+    reference's AND(OR(syn...)) expansion)."""
+    pq = parse_query("spark merge", CFG, synonyms={"spark": ["merge"]})
+    # terms: spark(g0), merge(appears as spark's synonym g0 AND as its own
+    # query word g1) — merge must carry both group ids
+    assert pq.terms == ["spark", "merge"]
+    assert pq.groups == [(0,), (0, 1)]
+    assert pq.n_groups == 2
+
+
+def test_overlapping_group_search_matches_oracle(spark, store, docs_pd):
+    """End-to-end: with overlapping groups, a doc containing only 'merge'
+    satisfies both AND gates (merge covers g0 as spark's synonym and g1 as
+    itself), so results equal a plain one-term 'merge' query's docs."""
+    pq = parse_query("spark merge", CFG, synonyms={"spark": ["merge"]})
+    got = search_index(spark, store, pq, k=10).toPandas()
+    want = bm25_topk_oracle(
+        docs_pd, pq.terms, k=10, op="AND", cfg=CFG, groups=pq.groups
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].to_numpy() == pytest.approx(
+        want["score"].to_numpy(), abs=1e-6
+    )
 
 
 @pytest.mark.parametrize("op", ["AND", "OR"])
@@ -80,6 +107,17 @@ def test_highlight_series_tags_and_window():
     assert out[1] == "nothing here"
     assert out[2] == ""
     assert "<em>spark</em>" in out[3] and "<em>sparky</em>" not in out[3]
+
+
+def test_highlight_uppercase_run_boundary():
+    """ADVICE r01: a term inside an UPPERCASE alphanumeric run is NOT
+    boundary-delimited under the analyzer's grammar and must not be
+    tagged; standalone uppercase forms still match (IGNORECASE)."""
+    s = pd.Series(["SPARK and XSPARKX here"])
+    out = highlight_series(s, ("spark",), summary_len=80)
+    assert "<em>SPARK</em>" in out[0]
+    assert "XSPARKX" in out[0] and "<em>XSPARKX" not in out[0]
+    assert "X<em>" not in out[0]
 
 
 def test_highlight_hits_join(spark, store):
