@@ -32,7 +32,8 @@ from fastcatsearch3_spark.index import IndexStore
 from fastcatsearch3_spark.operators.build import build_index
 from fastcatsearch3_spark.operators.ingest import load_documents
 from fastcatsearch3_spark.plans import sql_bm25
-from fastcatsearch3_spark.plans.query import ParsedQuery
+from fastcatsearch3_spark.plans.highlight import highlight_udf
+from fastcatsearch3_spark.plans.query import ParsedQuery, parse_query
 from fastcatsearch3_spark.plans.search import search_index
 
 CFG = EngineConfig()
@@ -93,10 +94,17 @@ _DL = f"SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ({_TOK}) GROUP BY doc
 
 
 def _bm25_sql(terms: list[str], op: str, k: int, not_terms: list[str] | None = None,
-              order_raw: bool = False) -> str:
-    """DuckDB BM25 oracle (same formula/constants as EngineConfig)."""
+              order_raw: bool = False, msm: int | None = None,
+              extra_where: str | None = None, offset: int = 0) -> str:
+    """DuckDB BM25 oracle (same formula/constants as EngineConfig).
+    ``msm``: minimum-should-match gate (nt >= msm) instead of the AND gate;
+    ``extra_where``: doc-level predicate appended to the gate (mirrors the
+    engine's allow/deny docno masks); ``offset``: paging."""
     tlist = ", ".join(f"'{t}'" for t in terms)
-    gate = f"WHERE nt = {len(terms)}" if op == "AND" else ""
+    if msm is not None:
+        gate = f"WHERE nt >= {msm}"
+    else:
+        gate = f"WHERE nt = {len(terms)}" if op == "AND" else ""
     excl = ""
     if not_terms:
         nlist = ", ".join(f"'{t}'" for t in not_terms)
@@ -104,15 +112,16 @@ def _bm25_sql(terms: list[str], op: str, k: int, not_terms: list[str] | None = N
             f"AND doc_id NOT IN (SELECT DISTINCT doc_id FROM ({_TOK}) "
             f"WHERE term IN ({nlist}))"
         )
-        if not gate:
-            gate = "WHERE TRUE " + excl
-        else:
-            gate = gate + " " + excl
+    if extra_where:
+        excl = f"{excl} AND ({extra_where})"
+    if excl:
+        gate = (gate or "WHERE TRUE") + " " + excl
     order = (
         "ORDER BY score DESC, doc_id ASC"
         if order_raw
         else "ORDER BY score_e4 DESC, doc_id ASC"
     )
+    off = f" OFFSET {offset}" if offset else ""
     return f"""
 WITH tf AS ({_TF}),
 dl AS ({_DL}),
@@ -128,7 +137,7 @@ scored AS (
 agg AS (SELECT doc_id, sum(partial) AS score, count(*) AS nt FROM scored GROUP BY doc_id),
 final AS (SELECT doc_id, score, CAST(round(score * 10000) AS BIGINT) AS score_e4
           FROM agg {gate})
-SELECT doc_id, score_e4 FROM final {order} LIMIT {k}
+SELECT doc_id, score_e4 FROM final {order} LIMIT {k}{off}
 """
 
 
@@ -454,6 +463,64 @@ def _q_search_hydrate(spark, sf_dir):  # Q-5 result hydration (stored fields)
     )
 
 
+def _filtered_store(spark, sf_dir):
+    """Packed store with every src0 doc tombstoned (P-7 exercised through
+    the packed search path — the reference's delete-set applied during
+    query evaluation, not as a post-filter). Built once per sf_dir under
+    its own cache tag; delete_by_pk is a no-op rerun guard via
+    has_deletes()."""
+    store = _packed_store(spark, sf_dir, tag="del-src0")
+    if not store.has_deletes():
+        from fastcatsearch3_spark.streaming.incremental import delete_by_pk
+
+        keys = _docs(spark, sf_dir).where(F.col("source") == "src0").select(
+            F.col("source").alias("repo"),
+            F.concat(
+                F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".txt")
+            ).alias("path"),
+        )
+        delete_by_pk(spark, store.root, keys)
+    return store
+
+
+def _q_bm25_filtered(spark, sf_dir):
+    # P-2 allow-filter (lang='en') + P-7 delete mask (src0 tombstoned),
+    # both resolved to shard-local docno sets cogrouped INTO the kernel —
+    # filters apply before top-k selection, not as a result post-filter
+    store = _filtered_store(spark, sf_dir)
+    allow = _docs(spark, sf_dir).where(F.col("lang") == "en").select("doc_id")
+    hits = search_index(
+        spark, store, ParsedQuery(terms=["spark"], op="AND"), k=_K,
+        allow_doc_ids=allow,
+    )
+    return hits.select("doc_id", _e4())
+
+
+def _q_search_paging(spark, sf_dir):  # O-2 paging through the packed path
+    store = _packed_store(spark, sf_dir)
+    hits = search_index(
+        spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), k=5, offset=5
+    )
+    return hits.select("doc_id", _e4())
+
+
+def _q_bm25_msm(spark, sf_dir):  # minimum-should-match ("a b c ~2" syntax)
+    store = _packed_store(spark, sf_dir)
+    pq = parse_query("vector stream table ~2", CFG)
+    hits = search_index(spark, store, pq, k=_K)
+    return hits.select("doc_id", _e4())
+
+
+def _q_search_highlight(spark, sf_dir):  # F-7 whole-field highlight of top-k
+    store = _packed_store(spark, sf_dir)
+    hits = search_index(spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), k=_K)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    hl = highlight_udf(list(_Q_AND2), summary_len=None)
+    return hits.join(F.broadcast(d), "doc_id").select(
+        "doc_id", _e4(), hl(F.col("text")).alias("snippet")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -494,6 +561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_boost": _q_match_boost,
         "bm25_synonyms": _q_bm25_synonyms,
         "search_hydrate": _q_search_hydrate,
+        "bm25_filtered": _q_bm25_filtered,
+        "search_paging": _q_search_paging,
+        "bm25_msm": _q_bm25_msm,
+        "search_highlight": _q_search_highlight,
     }
 
 
@@ -783,8 +854,19 @@ FROM ranked WHERE rk <= {TS.FINGERPRINT_K} GROUP BY doc_id
             " AS n_bytes, lower(hex(encode(substr(text, 1, 4)))) AS magic_hex"
             " FROM documents"
         ),
-        # multimodal_features: no oracle (mapInPandas stub decoder) —
-        # driver records a rows-only check by design
+        # multimodal_features: the deterministic 'raw' decode (width =
+        # trunc(sqrt(bytes)) min 1, height = ceil-div) IS SQL-expressible,
+        # so the plumbing is fully oracle-checked (r01: no_oracle)
+        "multimodal_features": """
+WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) n
+           FROM documents),
+w AS (SELECT doc_id, n,
+        greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) w
+      FROM b)
+SELECT doc_id, 'text' AS modality, n AS n_bytes,
+       CAST(w AS INT) AS width, CAST((n + w - 1) // w AS INT) AS height
+FROM w
+""",
         "join_revenue": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) n_orders,"
             " CAST(round(sum(o_totalprice) * 100) AS BIGINT) sum_price_e2"
@@ -853,5 +935,27 @@ agg AS (SELECT doc_id, sum(partial) AS score,
 SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
 FROM agg WHERE ng = 2
 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # packed search with allow-filter AND delete mask applied in-kernel
+        "bm25_filtered": _bm25_sql(
+            ["spark"], "AND", _K, order_raw=True,
+            extra_where=(
+                "doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+                " AND doc_id NOT IN"
+                " (SELECT doc_id FROM documents WHERE source = 'src0')"
+            ),
+        ),
+        "search_paging": _bm25_sql(_Q_AND2, "AND", 5, order_raw=True, offset=5),
+        "bm25_msm": _bm25_sql(
+            ["vector", "stream", "table"], "OR", _K, order_raw=True, msm=2
+        ),
+        # whole-field highlight: \b ≡ the engine's case-insensitive
+        # alnum-boundary lookarounds on this [a-z0-9 .] corpus
+        "search_highlight": f"""
+SELECT f.doc_id, f.score_e4,
+       regexp_replace(d.text, '\\b(merge|spark)\\b', '<em>\\1</em>', 'g')
+         AS snippet
+FROM ({_bm25_sql(_Q_AND2, "AND", _K, order_raw=True)}) f
+JOIN documents d USING (doc_id)
 """,
     }

@@ -90,17 +90,65 @@ def decoder(kind: str = "raw") -> Callable[[bytes], tuple]:
     return _missing
 
 
+def _raw_batch_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Whole-batch vectorized 'raw' decode: ONE concatenated byte buffer +
+    per-row offsets; per-row stats via reduceat/bincount — no per-row
+    Python loop. This is the template a real codec kernel should follow
+    for everything that is NOT the codec call itself (sizes, offsets,
+    histograms, feature assembly)."""
+    bufs = [bytes(p) for p in pdf["payload"]]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, count=len(bufs))
+    flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    n = np.maximum(lens, 1)
+
+    width = np.sqrt(lens.astype(np.float64)).astype(np.int64)
+    width = np.maximum(width, 1)
+    height = (lens + width - 1) // width
+
+    cs = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
+    ends = starts + lens
+    sums = cs[ends] - cs[starts]
+    mean = sums / n
+
+    # 8-bin byte histogram per row in one bincount: bin = row*8 + byte>>5
+    row_idx = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+    hist = np.bincount(
+        row_idx * 8 + (flat >> 5), minlength=len(bufs) * 8
+    ).reshape(len(bufs), 8)
+    feat = (hist / n[:, None]).astype(np.float32)
+
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(np.int64),
+            "modality": pdf["modality"].to_numpy(object),
+            "n_bytes": lens,
+            "width": width.astype(np.int32),
+            "height": height.astype(np.int32),
+            "mean_byte": np.where(lens > 0, mean, 0.0),
+            "feature": list(feat),
+        }
+    )
+
+
 def extract_features(
     docs: DataFrame, kind: str = "raw", batch_limit: int | None = None
 ) -> DataFrame:
     """Decode + feature-extract every payload via an Arrow-batched
-    mapInPandas kernel. Returns FEATURE_SCHEMA rows."""
+    mapInPandas kernel. Returns FEATURE_SCHEMA rows.
+
+    The 'raw' path is fully batch-vectorized (_raw_batch_kernel); other
+    kinds fall back to a per-row decoder call — inherent to real codecs —
+    while all surrounding work stays batch-shaped."""
     dec = decoder(kind)
     b = attach_binary(docs)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
+                continue
+            if kind == "raw":
+                yield _raw_batch_kernel(pdf)
                 continue
             rows = []
             for doc_id, payload, modality in zip(

@@ -92,6 +92,58 @@ class IndexStore:
             return None
         return spark.read.parquet(self._p("deletes"))
 
+    def denied_mask(self, spark: SparkSession) -> DataFrame | None:
+        """Shard-local denied docno set (segment_id, shard, docno), built
+        ONCE per index epoch and materialized under ``.denied/<epoch>``.
+
+        The docmap ⋈ deletes resolution ran per query before; at 10^12
+        docs that join is a full docmap scan, so it now runs only when the
+        epoch changes (any append/delete/compact mutates the deletes file
+        listing or segment set, which keys the epoch). Searches read the
+        small materialized mask. Publication is write-to-tmp + rename, so
+        a concurrent crash leaves at worst a stale tmp dir."""
+        import hashlib
+        import shutil
+
+        if not self.has_deletes():
+            return None
+        dl_dir = Path(self._p("deletes"))
+        listing = sorted(
+            f"{p.name}:{p.stat().st_size}"
+            for p in dl_dir.iterdir()
+            if p.is_file() and not p.name.startswith(("_", "."))
+        )
+        epoch = hashlib.sha256(
+            ("|".join(listing) + "||" + ",".join(map(str, self.segments()))).encode()
+        ).hexdigest()[:16]
+        out = Path(self._p(".denied", epoch))
+        if not out.exists():
+            from pyspark.sql import functions as F
+
+            dm = self.docmap(spark).alias("dm")
+            dl = spark.read.parquet(str(dl_dir)).alias("dl")
+            denied = (
+                dm.join(
+                    dl,
+                    (F.col("dm.doc_id") == F.col("dl.doc_id"))
+                    & (F.col("dm.segment_id") < F.col("dl.segment_id")),
+                )
+                .select("dm.segment_id", "dm.shard", "dm.docno")
+                .distinct()
+            )
+            tmp = out.with_name(out.name + ".tmp")
+            shutil.rmtree(tmp, ignore_errors=True)
+            denied.write.mode("overwrite").parquet(str(tmp))
+            if not out.exists():  # racing builder may have published first
+                tmp.rename(out)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
+            # GC stale epochs (best effort)
+            for p in out.parent.iterdir():
+                if p.name not in (out.name,) and not p.name.endswith(".tmp"):
+                    shutil.rmtree(p, ignore_errors=True)
+        return spark.read.parquet(str(out))
+
     def segments(self) -> list[int]:
         base = Path(self._p("postings"))
         if not base.exists():

@@ -32,6 +32,19 @@ def _compile(terms: tuple[str, ...]) -> re.Pattern:
     return re.compile(rf"(?<![a-zA-Z0-9])({alts})(?![a-zA-Z0-9])", re.IGNORECASE)
 
 
+def highlight_full_series(content: pd.Series, terms: tuple[str, ...]) -> pd.Series:
+    """Whole-field highlight (no summary window): every boundary-delimited
+    term occurrence tagged. Pure vectorized pandas str.replace — this is
+    the reference's highlight-without-summary mode and the SQL-mirrorable
+    face of F-7 (DuckDB: regexp_replace(text, pat, '<em>\\1</em>', 'g'))."""
+    if not terms:
+        return content.fillna("")
+    pat = _compile(terms)
+    return content.fillna("").str.replace(
+        pat, rf"{PRE_TAG}\1{POST_TAG}", regex=True
+    )
+
+
 def highlight_series(
     content: pd.Series,
     terms: tuple[str, ...],
@@ -65,13 +78,17 @@ def highlight_series(
     return content.map(one)
 
 
-def highlight_udf(terms: list[str], summary_len: int = 120):
+def highlight_udf(terms: list[str], summary_len: int | None = 120):
+    """Arrow-batched highlight UDF; ``summary_len=None`` → whole-field
+    highlight (no snippet window)."""
     from pyspark.sql.functions import pandas_udf
 
     tterms = tuple(terms)
 
     @pandas_udf("string")
     def hl(content: pd.Series) -> pd.Series:
+        if summary_len is None:
+            return highlight_full_series(content, tterms)
         return highlight_series(content, tterms, summary_len)
 
     return hl

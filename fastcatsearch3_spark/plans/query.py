@@ -31,10 +31,21 @@ class ParsedQuery:
     # expansion. Under AND, a group matches if ANY member term matches —
     # the flat form of the reference's query-side AND(OR(syn…)) expansion.
     groups: list[tuple[int, ...]] | None = None
+    # minimum-should-match (reference clause-tree middle ground between OR
+    # and AND): under OR, a doc must match ≥ msm distinct terms/groups.
+    # Query syntax: a trailing `~N` token ("a b c ~2").
+    msm: int | None = None
+    # phrase constraints (J-5): each entry is a list of CONSECUTIVE terms
+    # that must appear at adjacent positions ("\"exact phrase\"" syntax).
+    # Phrase terms are also regular AND terms; the adjacency check is an
+    # additional positional filter in the kernel.
+    phrases: list[list[str]] = field(default_factory=list)
 
     def __post_init__(self):
         if self.op not in ("AND", "OR"):
             raise ValueError(f"unsupported op: {self.op}")
+        if self.msm is not None and self.msm < 1:
+            raise ValueError("msm must be >= 1")
         if self.groups is not None:
             if len(self.groups) != len(self.terms):
                 raise ValueError("groups must align with terms")
@@ -61,12 +72,32 @@ def parse_query(
     mirroring the reference's query-side synonym dictionary
     (core:ir.analysis synonym term option [M])."""
     cfg = cfg or EngineConfig()
+    import re as _re
+
+    # phrase spans first: "exact phrase" → adjacency constraint (J-5); the
+    # span's words also join the regular term list (each its own group)
+    phrases: list[list[str]] = []
+    phrase_words: list[str] = []
+    for span in _re.findall(r'"([^"]*)"', text):
+        ptoks: list[str] = []
+        for w in span.split():
+            ptoks.extend(tokenize_text(w, cfg))
+        if len(ptoks) >= 2:
+            phrases.append(ptoks)
+        phrase_words.extend(span.split())
+    text = _re.sub(r'"[^"]*"', " ", text)
+
     raw = text.split()
     op = "AND"
+    msm: int | None = None
     pos_words: list[str] = []
     neg_words: list[str] = []
     for w in raw:
-        if w.upper() == "OR":
+        m = _re.fullmatch(r"~(\d+)", w)
+        if m:
+            msm = int(m.group(1))  # minimum-should-match: "a b c ~2"
+            op = "OR"  # msm only means anything over should-clauses
+        elif w.upper() == "OR":
             op = "OR"
         elif w.upper() == "AND":
             op = "AND"
@@ -80,6 +111,7 @@ def parse_query(
             else:
                 pos_words.append(w)
     neg_words = [w for w in neg_words if w != "\0PENDING"]
+    pos_words = phrase_words + pos_words
     terms: list[str] = []
     groups: list[int] = []
     gid = 0
@@ -120,4 +152,6 @@ def parse_query(
         not_terms=nterms,
         op=op,
         groups=dedup_groups if synonyms else None,
+        msm=msm,
+        phrases=phrases,
     )

@@ -143,6 +143,7 @@ def score_group(
     deny_docnos: np.ndarray | None = None,
     groups: list[tuple[int, ...]] | None = None,
     n_groups: int | None = None,
+    msm: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (segment, shard) group. Returns (docnos, scores) of the
     local top-k, score-desc / docno-asc ordered.
@@ -150,11 +151,21 @@ def score_group(
     ``allow_docnos`` / ``deny_docnos`` implement filter pushdown into the
     kernel (P-2..P-5 predicates resolved to shard-local docno sets) and
     the delete-set mask (P-7): filters must apply *before* top-k selection
-    or excluded docs would occupy result slots."""
+    or excluded docs would occupy result slots.
+
+    ``msm`` (minimum-should-match): under OR, require ≥ msm distinct query
+    terms (or, with groups, ≥ msm distinct groups) per doc — the
+    reference's clause-tree middle ground between OR (msm=1) and AND
+    (msm=n). Needs exhaustive evaluation (hit counting), so MaxScore
+    pruning is bypassed."""
     not_terms = not_terms or []
     if not terms:
         return np.zeros(0, dtype=np.uint64), np.zeros(0)
-    if groups is not None and op == "AND":
+    if msm is not None and op == "OR":
+        docnos, scores = _score_taat(
+            terms, op, k1, b, avgdl, groups=groups, n_groups=n_groups, msm=msm
+        )
+    elif groups is not None and op == "AND":
         # synonym groups change the AND gate to per-group coverage; the
         # blockwise intersection doesn't apply — exhaustive TAAT is exact
         docnos, scores = _score_taat(
@@ -200,6 +211,7 @@ def _score_taat(
     avgdl: float,
     groups: list[tuple[int, ...]] | None = None,
     n_groups: int | None = None,
+    msm: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive TAAT over a dense shard-local accumulator. Terms are
     accumulated in sorted-term order for deterministic float summation.
@@ -235,6 +247,8 @@ def _score_taat(
         need = (n_groups if n_groups is not None else len(group_docs)) if op == "AND" else 1
     else:
         need = len(terms) if op == "AND" else 1
+    if msm is not None and op == "OR":
+        need = msm  # minimum-should-match: ≥ msm distinct terms/groups
     cand = np.nonzero(hits >= need)[0]
     return cand.astype(np.uint64), acc[cand]
 

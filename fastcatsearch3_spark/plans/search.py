@@ -51,8 +51,9 @@ def _make_kernel(
     n_required: int,
     with_mask: bool,
     allow_active: bool,
-    term_groups: dict[str, int] | None = None,
+    term_groups: dict[str, tuple[int, ...]] | None = None,
     n_groups: int | None = None,
+    msm: int | None = None,
 ):
     """Build the per-(segment, shard) scoring function (U-5)."""
 
@@ -119,6 +120,7 @@ def _make_kernel(
             deny_docnos=deny,
             groups=pos_groups if term_groups is not None else None,
             n_groups=n_groups,
+            msm=msm,
         )
         return pd.DataFrame(
             {
@@ -151,9 +153,13 @@ def search_index(
     apply_deletes: bool = True,
     hydrate: bool = False,
     corpus_df: DataFrame | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, score) ordered by
-    (score desc, doc_id asc); with ``hydrate``, stored corpus fields too."""
+    (score desc, doc_id asc); with ``hydrate``, stored corpus fields too.
+    ``offset`` pages past the first N results (the reference's sn/ln
+    paging, O-2): each shard kernel keeps offset+k local hits so the
+    global merge can skip offset rows exactly."""
     cfg = store.config()
     pq = parse_query(query, cfg) if isinstance(query, str) else query
     stats = store.stats()
@@ -185,19 +191,27 @@ def search_index(
                 return spark.createDataFrame([], "doc_id long, score double")
     terms = [t for t in pq.terms if t in dfmap]
     term_groups = (
-        {t: g for t, g in zip(pq.terms, pq.groups) if t in dfmap}
+        {t: gs for t, gs in zip(pq.terms, pq.groups) if t in dfmap}
         if pq.groups is not None
         else None
     )
     not_terms = [t for t in pq.not_terms if t in dfmap]
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
+    if pq.msm is not None and pq.op == "OR":
+        # enough distinct terms/groups must exist at all to reach msm
+        n_present = (
+            len({gid for gs in term_groups.values() for gid in gs})
+            if term_groups is not None
+            else len(terms)
+        )
+        if n_present < pq.msm:
+            return spark.createDataFrame([], "doc_id long, score double")
     qidf = {t: float(bm25_idf(n_docs, dfmap[t])) for t in terms}
 
     fetch_terms = terms + not_terms
     cand = store.postings(spark).where(F.col("term").isin(fetch_terms))
 
-    deletes = store.deletes(spark) if apply_deletes else None
     masks = []
     if allow_doc_ids is not None:
         allowed = (
@@ -206,28 +220,25 @@ def search_index(
             .select("segment_id", "shard", "docno", F.lit(1).alias("kind"))
         )
         masks.append(allowed)
-    if deletes is not None:
-        # a tombstone written at segment N masks copies in segments < N only
-        # (the re-ingested/updated copy in segment N itself stays live) —
-        # the reference's per-segment DeleteIdSet applied to older segments
-        # (core:ir.index.DeleteIdSet [K])
-        dm = store.docmap(spark).alias("dm")
-        dl_ = deletes.alias("dl")
-        denied = (
-            dm.join(
-                dl_,
-                (F.col("dm.doc_id") == F.col("dl.doc_id"))
-                & (F.col("dm.segment_id") < F.col("dl.segment_id")),
+    if apply_deletes:
+        # the shard-local denied set is materialized ONCE per index epoch
+        # (IndexStore.denied_mask) — not recomputed per query; a tombstone
+        # written at segment N masks copies in segments < N only (the
+        # re-ingested copy in segment N itself stays live) — the
+        # reference's per-segment DeleteIdSet (core:ir.index.DeleteIdSet
+        # [K]) applied to older segments
+        denied = store.denied_mask(spark)
+        if denied is not None:
+            masks.append(
+                denied.select(
+                    "segment_id", "shard", "docno", F.lit(-1).alias("kind")
+                )
             )
-            .select("dm.segment_id", "dm.shard", "dm.docno", F.lit(-1).alias("kind"))
-            .distinct()
-        )
-        masks.append(denied)
 
     kernel = _make_kernel(
         qidf,
         set(not_terms),
-        k=k,
+        k=offset + k,  # each shard must hold enough hits to page past offset
         op=pq.op,
         mode=mode,
         k1=cfg.k1,
@@ -238,6 +249,7 @@ def search_index(
         allow_active=allow_doc_ids is not None,
         term_groups=term_groups,
         n_groups=pq.n_groups if term_groups is not None else None,
+        msm=pq.msm,
     )
     if masks:
         mask_df = masks[0]
@@ -253,14 +265,48 @@ def search_index(
             kernel, KERNEL_SCHEMA
         )
 
-    # Q-5 hydrate docnos → doc_ids: hits ≤ k per group, broadcast them.
-    dm = store.docmap(spark).select("segment_id", "shard", "docno", "doc_id")
-    out = (
-        dm.join(F.broadcast(hits), ["segment_id", "shard", "docno"])
-        .select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    # Q-5 hydrate docnos → doc_ids. The kernel output is result-sized
+    # (≤ (offset+k) rows per (segment, shard) group), so collect it and
+    # PUSH the hit keys into the docmap scan as predicates: segment_id
+    # prunes partitions, (shard, docno IN …) prunes row groups (docmap is
+    # written sorted by (shard, docno); at cluster scale it would also be
+    # bucketed by shard). The previous shape — full docmap scan + broadcast
+    # join — read the entire docmap per query, the dominant per-query cost
+    # at 10^12 docs. The collect is bounded by the result size, the same
+    # class as the final toPandas, never O(corpus).
+    hit_rows = hits.collect()
+    if not hit_rows:
+        out = spark.createDataFrame([], "doc_id long, score double")
+    else:
+        hits_df = spark.createDataFrame(hit_rows, schema=hits.schema)
+        by_part: dict[tuple[int, int], list[int]] = {}
+        for r in hit_rows:
+            by_part.setdefault((r["segment_id"], r["shard"]), []).append(
+                r["docno"]
+            )
+        seg_pred = F.col("segment_id").isin(
+            sorted({seg for seg, _ in by_part})
+        )
+        part_pred = None
+        for (seg, sh), dns in sorted(by_part.items()):
+            c = (
+                (F.col("segment_id") == seg)
+                & (F.col("shard") == sh)
+                & F.col("docno").isin(dns)
+            )
+            part_pred = c if part_pred is None else (part_pred | c)
+        dm = (
+            store.docmap(spark)
+            .select("segment_id", "shard", "docno", "doc_id")
+            .where(seg_pred & part_pred)
+        )
+        out = (
+            dm.join(F.broadcast(hits_df), ["segment_id", "shard", "docno"])
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .offset(offset)
+            .limit(k)
+        )
     if hydrate:
         if corpus_df is not None:
             corpus = corpus_df

@@ -326,6 +326,7 @@ def compact(
     (tmp / "docmap").rename(root / "docmap")
     for sub in swap_subs:
         shutil.rmtree(root / f"{sub}.old", ignore_errors=True)
+    shutil.rmtree(root / ".denied", ignore_errors=True)  # epoch masks are stale
     shutil.rmtree(tmp, ignore_errors=True)
 
     elapsed = time.monotonic() - t0

@@ -167,3 +167,31 @@ def test_bmw_prunes_but_identical(seed):
         d2, s2 = score_group(tps, k=k, op="OR", mode="bmw", k1=K1, b=B, avgdl=avgdl)
         assert d1.tolist() == d2.tolist()
         np.testing.assert_allclose(s1, s2, atol=1e-9)
+
+
+@pytest.mark.parametrize("msm", [1, 2, 3])
+def test_min_should_match(msm):
+    """msm gating: OR with msm must equal brute force restricted to docs
+    matching >= msm distinct terms; msm=1 == plain OR, msm=n == AND."""
+    rng = np.random.default_rng(11)
+    mat, dls = make_corpus(rng, n_terms=3)
+    n_docs = mat.shape[1]
+    avgdl = float(dls.mean())
+    tps = build_tps(mat, dls, n_docs)
+
+    acc = np.zeros(n_docs)
+    hits = np.zeros(n_docs, dtype=int)
+    for t in range(3):
+        row = mat[t]
+        present = row > 0
+        idf = bm25_idf(n_docs, int(present.sum()))
+        acc[present] += idf * bm25_tf_norm(row[present], dls[present], K1, B, avgdl)
+        hits[present] += 1
+    cand = np.nonzero(hits >= msm)[0]
+    want_d, want_s = topk_ref(cand, acc[cand], 50)
+
+    got_d, got_s = score_group(
+        tps, k=50, op="OR", mode="bmw", k1=K1, b=B, avgdl=avgdl, msm=msm
+    )
+    assert got_d.astype(np.int64).tolist() == want_d.tolist()
+    np.testing.assert_allclose(got_s, want_s, atol=1e-9)
