@@ -511,6 +511,17 @@ def _q_bm25_msm(spark, sf_dir):  # minimum-should-match ("a b c ~2" syntax)
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25_phrase(spark, sf_dir):
+    # J-5 phrase query: BM25 AND over the phrase terms, restricted to docs
+    # where they occur at CONSECUTIVE analyzed-token positions — evaluated
+    # in-kernel from the positions sidecar blob (store_positions index)
+    cfg_pos = EngineConfig(store_positions=True)
+    store = _packed_store(spark, sf_dir, cfg=cfg_pos)
+    pq = parse_query('"table hash"', cfg_pos)
+    hits = search_index(spark, store, pq, k=_K)
+    return hits.select("doc_id", _e4())
+
+
 def _q_search_highlight(spark, sf_dir):  # F-7 whole-field highlight of top-k
     store = _packed_store(spark, sf_dir)
     hits = search_index(spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), k=_K)
@@ -564,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": _q_bm25_filtered,
         "search_paging": _q_search_paging,
         "bm25_msm": _q_bm25_msm,
+        "bm25_phrase": _q_bm25_phrase,
         "search_highlight": _q_search_highlight,
     }
 
@@ -948,6 +960,21 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
         "search_paging": _bm25_sql(_Q_AND2, "AND", 5, order_raw=True, offset=5),
         "bm25_msm": _bm25_sql(
             ["vector", "stream", "table"], "OR", _K, order_raw=True, msm=2
+        ),
+        # phrase: consecutive-position check over the unnested token stream
+        # (positions = 1-based ordinals of the analyzed tokens)
+        "bm25_phrase": _bm25_sql(
+            ["table", "hash"], "AND", _K, order_raw=True,
+            extra_where="""doc_id IN (
+  WITH pt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') arr
+              FROM documents),
+  ptok AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)+1),
+                   i -> {'p': i, 'term': arr[CAST(i AS INT)]}),
+                   recursive := true)
+           FROM pt)
+  SELECT DISTINCT a.doc_id
+  FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'table' AND b.term = 'hash')""",
         ),
         # whole-field highlight: \b ≡ the engine's case-insensitive
         # alnum-boundary lookarounds on this [a-z0-9 .] corpus

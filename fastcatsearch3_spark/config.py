@@ -40,6 +40,10 @@ class EngineConfig:
     min_token_len: int = 1
     max_token_len: int = 64
     emit_original_compound: bool = False
+    # store within-doc token positions (a separate blob column, pruned from
+    # every non-phrase query's scan) — enables phrase queries (J-5); off by
+    # default like Lucene's IndexOptions: positions cost ~1-2 bytes/token
+    store_positions: bool = False
     stopwords: tuple[str, ...] = field(default_factory=tuple)
     analyzer: str = "standard"
     analyzer_version: str = ANALYZER_VERSION

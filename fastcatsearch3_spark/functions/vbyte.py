@@ -297,6 +297,82 @@ def decode_postings(
     return docnos, tfs, dls
 
 
+# ---------------------------------------------------------------------------
+# Positions sidecar blob (J-5 phrase/proximity support)
+#
+# Positions live in a SEPARATE blob (its own parquet column), not inside the
+# main posting blob — Lucene's .doc/.pos file split re-expressed as column
+# pruning: queries without phrases never read a positions byte. Layout:
+#
+#     vbyte run: nblocks, block_bytes[nb]   (block structure mirrors the
+#                                            main blob's entry blocking)
+#     data: per block, the concatenation of each entry's vbyte run of
+#           delta-gapped within-doc token positions (first absolute);
+#           entry boundaries are implied by the main blob's tf values
+#           (tf_e positions per entry — no per-entry length stored).
+# ---------------------------------------------------------------------------
+
+def encode_positions_blob(
+    entry_pos_bytes: np.ndarray, block_size: int
+) -> bytes:
+    """Assemble one term's positions blob from per-entry already-encoded
+    position byte runs (object array of bytes, in docno order)."""
+    n = entry_pos_bytes.size
+    lens = np.fromiter((len(b) for b in entry_pos_bytes), np.int64, count=n)
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    block_bytes = segment_sums(lens, starts)
+    header = vbyte_encode(
+        np.concatenate(
+            [np.array([starts.size], dtype=np.uint64),
+             block_bytes.astype(np.uint64)]
+        )
+    )
+    return header.tobytes() + b"".join(entry_pos_bytes)
+
+
+def decode_positions_blob(
+    blob: bytes | np.ndarray, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode → (flat absolute positions, entry start offsets into it).
+    ``tfs`` = per-entry tf values from the main blob decode (entry e has
+    tfs[e] positions). Vectorized: one vbyte pass + the cumsum-reset trick."""
+    b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    head, consumed = vbyte_decode_prefix(b, 1)
+    nb = int(head[0])
+    _, skip = vbyte_decode_prefix(b[consumed:], nb)
+    vals = vbyte_decode(b[consumed + skip:])
+    tfs = tfs.astype(np.int64)
+    entry_starts = np.concatenate(([0], np.cumsum(tfs[:-1])))
+    if vals.size != int(tfs.sum()):
+        raise ValueError("positions blob length mismatch with tf stream")
+    cs = np.cumsum(vals)
+    base = cs[entry_starts] - vals[entry_starts]
+    flat = cs - np.repeat(base, tfs)
+    return flat, entry_starts
+
+
+def split_positions_bytes(
+    blob: bytes | np.ndarray, tfs: np.ndarray
+) -> list[bytes]:
+    """Slice a positions blob back into its per-entry encoded byte runs
+    (used by compaction: within-doc position gaps are docno-independent,
+    so re-pack reuses the bytes verbatim). Vectorized boundary scan."""
+    b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    head, consumed = vbyte_decode_prefix(b, 1)
+    nb = int(head[0])
+    _, skip = vbyte_decode_prefix(b[consumed:], nb)
+    data = b[consumed + skip:]
+    tfs = tfs.astype(np.int64)
+    if data.size == 0:
+        return [b""] * tfs.size
+    val_ends = np.nonzero((data & _CONT) == 0)[0]  # end byte of each value
+    entry_last_val = np.cumsum(tfs) - 1
+    entry_byte_ends = val_ends[entry_last_val] + 1
+    entry_byte_starts = np.concatenate(([0], entry_byte_ends[:-1]))
+    raw = data.tobytes()
+    return [raw[s:e] for s, e in zip(entry_byte_starts, entry_byte_ends)]
+
+
 def decode_blocks(
     blob: bytes | np.ndarray, meta: PostingMeta, block_idx: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -46,7 +46,10 @@ from pyspark.sql import functions as F
 from fastcatsearch3_spark import schemas
 from fastcatsearch3_spark.config import EngineConfig
 from fastcatsearch3_spark.functions.analyzer import ANALYZERS, tokens_string_udf
-from fastcatsearch3_spark.functions.vbyte import encode_postings
+from fastcatsearch3_spark.functions.vbyte import (
+    encode_positions_blob,
+    encode_postings,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -83,20 +86,30 @@ def dl_column(toks: F.Column | str) -> F.Column:
 
 
 TOKCOMBINE_SCHEMA = "shard int, docno bigint, dl bigint, term string, tf bigint"
+TOKCOMBINE_SCHEMA_POS = TOKCOMBINE_SCHEMA + ", pos binary"
 
 
 def make_tokenize_combine_stream(cfg: EngineConfig):
     """mapInPandas kernel: (shard, docno, content) batches → combined
-    (shard, docno, dl, term, tf) rows — tokenize AND occurrence→tf combine
-    in one vectorized pass (flat factorize + keyed unique).
+    (shard, docno, dl, term, tf[, pos]) rows — tokenize AND occurrence→tf
+    combine in one vectorized pass (flat factorize + keyed grouping).
 
     This is the map-side half of I-3 done entirely in Python: the shuffle
     then carries one row per DISTINCT (doc, term) (~cf/df ≈ 5× fewer rows
     than raw occurrences on code corpora), and the JVM never explodes or
-    Arrow-serializes the occurrence stream at all."""
+    Arrow-serializes the occurrence stream at all.
+
+    With ``cfg.store_positions`` each row additionally carries ``pos``:
+    the term's within-doc token positions (0-based index into the ANALYZED
+    token stream), delta-gapped and vbyte-encoded — one bytes object per
+    (doc, term), assembled from ONE vectorized vbyte encode of the whole
+    batch's delta stream (the only loop is the per-group byte slicing)."""
     fn = ANALYZERS[cfg.analyzer]
+    store_pos = cfg.store_positions
 
     def gen(batches):
+        from fastcatsearch3_spark.functions.vbyte import vbyte_encode
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -112,18 +125,56 @@ def make_tokenize_combine_stream(cfg: EngineConfig):
             codes, uniq = pd.factorize(pd.Series(flat))
             nuniq = len(uniq) + 1
             key = rows * nuniq + codes
-            uk, counts = np.unique(key, return_counts=True)
-            urow = (uk // nuniq).astype(np.int64)
-            ucode = (uk % nuniq).astype(np.int64)
             shard = pdf["shard"].to_numpy(np.int32)
             docno = pdf["docno"].to_numpy(np.int64)
+            if not store_pos:
+                uk, counts = np.unique(key, return_counts=True)
+                urow = (uk // nuniq).astype(np.int64)
+                ucode = (uk % nuniq).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "shard": shard[urow],
+                        "docno": docno[urow],
+                        "dl": lens[urow],
+                        "term": np.asarray(uniq, dtype=object)[ucode],
+                        "tf": counts.astype(np.int64),
+                    }
+                )
+                continue
+            # positions path: stable sort groups occurrences by (doc, term)
+            # while preserving within-doc order → per-group position runs
+            row_offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(
+                row_offsets, lens
+            )
+            order = np.argsort(key, kind="stable")
+            skey = key[order]
+            spos = pos_in_row[order]
+            gmask = np.empty(total, dtype=bool)
+            gmask[0] = True
+            gmask[1:] = skey[1:] != skey[:-1]
+            gstarts = np.nonzero(gmask)[0]
+            counts = np.diff(np.append(gstarts, total)).astype(np.int64)
+            uk = skey[gstarts]
+            deltas = spos.copy()
+            deltas[1:] -= spos[:-1]
+            deltas[gstarts] = spos[gstarts]
+            enc, blens = vbyte_encode(deltas.astype(np.uint64), return_lens=True)
+            ends = np.cumsum(blens)
+            g_ends = ends[np.append(gstarts[1:], total) - 1]
+            g_starts = np.concatenate(([0], g_ends[:-1]))
+            raw = enc.tobytes()
+            pos_bytes = [raw[s:e] for s, e in zip(g_starts, g_ends)]
+            urow = (uk // nuniq).astype(np.int64)
+            ucode = (uk % nuniq).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "shard": shard[urow],
                     "docno": docno[urow],
                     "dl": lens[urow],
                     "term": np.asarray(uniq, dtype=object)[ucode],
-                    "tf": counts.astype(np.int64),
+                    "tf": counts,
+                    "pos": pos_bytes,
                 }
             )
 
@@ -137,6 +188,7 @@ def make_tokenize_combine_stream(cfg: EngineConfig):
 PACK_SCHEMA = (
     "shard int, term string, df bigint, cf bigint, postings binary"
 )
+PACK_SCHEMA_POS = PACK_SCHEMA + ", positions binary"
 
 
 _PACK_EMPTY = pd.DataFrame(
@@ -162,6 +214,9 @@ def _pack_frame(pdf: pd.DataFrame, block_size: int, combine: bool) -> pd.DataFra
     compaction, whose decode emits combined rows)."""
     if len(pdf) == 0:
         return _PACK_EMPTY
+    has_pos = "pos" in pdf.columns
+    if has_pos and combine:
+        raise ValueError("positions require pre-combined (doc, term) rows")
     tcode, uniq = pd.factorize(pdf["term"])
     shards = pdf["shard"].to_numpy(np.int64)
     docnos = pdf["docno"].to_numpy(np.int64)
@@ -181,6 +236,7 @@ def _pack_frame(pdf: pd.DataFrame, block_size: int, combine: bool) -> pd.DataFra
         key, dn, dl = key[gstart], dn[gstart], dl[gstart]
     else:
         tf = pdf["tf"].to_numpy(np.int64)[order]
+    pos_arr = pdf["pos"].to_numpy(object)[order] if has_pos else None
     # (shard, term) runs over the combined (docno, tf) rows
     trun = np.empty(len(key), dtype=bool)
     trun[0] = True
@@ -190,7 +246,7 @@ def _pack_frame(pdf: pd.DataFrame, block_size: int, combine: bool) -> pd.DataFra
     uniq_arr = np.asarray(uniq, dtype=object)
     out_shard = (key[starts] // nterm).astype(np.int32)
     out_terms = uniq_arr[(key[starts] % nterm).astype(np.int64)]
-    out_df, out_cf, out_blob = [], [], []
+    out_df, out_cf, out_blob, out_pos = [], [], [], []
     for s, e in zip(starts, ends):
         out_df.append(e - s)
         out_cf.append(int(tf[s:e].sum()))
@@ -202,15 +258,20 @@ def _pack_frame(pdf: pd.DataFrame, block_size: int, combine: bool) -> pd.DataFra
                 block_size,
             )
         )
-    return pd.DataFrame(
-        {
-            "shard": out_shard,
-            "term": out_terms,
-            "df": np.asarray(out_df, dtype=np.int64),
-            "cf": np.asarray(out_cf, dtype=np.int64),
-            "postings": out_blob,
-        }
-    )
+        if has_pos:
+            out_pos.append(
+                encode_positions_blob(pos_arr[s:e], block_size)
+            )
+    cols = {
+        "shard": out_shard,
+        "term": out_terms,
+        "df": np.asarray(out_df, dtype=np.int64),
+        "cf": np.asarray(out_cf, dtype=np.int64),
+        "postings": out_blob,
+    }
+    if has_pos:
+        cols["positions"] = out_pos
+    return pd.DataFrame(cols)
 
 
 def make_pack_stream(block_size: int, combine: bool = True):
@@ -360,17 +421,28 @@ def build_segment(
     # kernel (map-side combine), so the pack shuffle carries one compact
     # row per distinct (doc, term) and the JVM never explodes or
     # Arrow-serializes the raw occurrence stream.
+    tok_schema = (
+        TOKCOMBINE_SCHEMA_POS if cfg.store_positions else TOKCOMBINE_SCHEMA
+    )
+    pack_schema = PACK_SCHEMA_POS if cfg.store_positions else PACK_SCHEMA
+    posting_cols = ["segment_id", "shard", "term", "df", "cf", "postings"] + (
+        ["positions"] if cfg.store_positions else []
+    )
     tf_rows = staged.select("shard", "docno", "content").mapInPandas(
-        make_tokenize_combine_stream(cfg), TOKCOMBINE_SCHEMA
+        make_tokenize_combine_stream(cfg), tok_schema
     )
 
     packed = (
         tf_rows.repartition(2 * target, "shard", "term")
-        .mapInPandas(make_pack_stream(cfg.block_size, combine=False), PACK_SCHEMA)
+        .mapInPandas(make_pack_stream(cfg.block_size, combine=False), pack_schema)
         .withColumn("segment_id", F.lit(segment_id).cast("int"))
-        .select("segment_id", "shard", "term", "df", "cf", "postings")
+        .select(*posting_cols)
     )
-    schemas.assert_schema(packed, schemas.POSTINGS, "postings")
+    schemas.assert_schema(
+        packed,
+        schemas.POSTINGS_POS if cfg.store_positions else schemas.POSTINGS,
+        "postings",
+    )
     postings_path = str(root / "postings" / f"segment_id={segment_id}")
     (
         packed.drop("segment_id")

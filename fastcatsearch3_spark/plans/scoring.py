@@ -42,7 +42,9 @@ from fastcatsearch3_spark.functions.vbyte import (
     PostingMeta,
     decode_blocks,
     decode_meta,
+    decode_positions_blob,
     decode_postings,
+    ragged_ranges,
 )
 
 
@@ -60,11 +62,13 @@ def bm25_tf_norm(
 
 @dataclass
 class TermPostings:
-    """One query term's posting blob within a (segment, shard) group."""
+    """One query term's posting blob within a (segment, shard) group.
+    ``pos_blob`` (optional) is the positions sidecar for phrase queries."""
 
     term: str
     idf: float
     blob: bytes
+    pos_blob: bytes | None = None
     meta: PostingMeta = field(init=False)
 
     def __post_init__(self):
@@ -111,6 +115,52 @@ def _probe(
     return member, contrib
 
 
+def phrase_mask(
+    cand: np.ndarray, phrase_tps: list[TermPostings]
+) -> np.ndarray:
+    """Boolean mask over sorted candidate docnos: True where the phrase
+    (terms at CONSECUTIVE analyzed-token positions, J-5) occurs.
+
+    Vectorized across all candidates at once: each term j's occurrences
+    become int64 keys docno·2³² + (pos − j); a phrase start exists exactly
+    where all terms' key sets intersect. No per-doc Python loop."""
+    if not phrase_tps or cand.size == 0:
+        return np.zeros(cand.size, dtype=bool)
+    keys: np.ndarray | None = None
+    cand64 = cand.astype(np.int64)
+    for j, tp in enumerate(phrase_tps):
+        if tp.pos_blob is None:
+            raise ValueError(
+                f"term {tp.term!r} has no positions — build the index with "
+                "EngineConfig(store_positions=True) to run phrase queries"
+            )
+        d, tfs, _ = decode_postings(tp.blob, tp.meta)
+        flat, entry_starts = decode_positions_blob(tp.pos_blob, tfs)
+        idx = np.searchsorted(d.astype(np.int64), cand64)
+        ok = idx < d.size
+        member = np.zeros(cand.size, dtype=bool)
+        member[ok] = d.astype(np.int64)[idx[ok]] == cand64[ok]
+        entries = idx[member]
+        docs = cand64[member]
+        tf_e = tfs[entries].astype(np.int64)
+        occ = ragged_ranges(entry_starts[entries], tf_e)
+        occ_pos = flat[occ].astype(np.int64)
+        occ_doc = np.repeat(docs, tf_e)
+        valid = occ_pos >= j  # a start before position j is impossible
+        kj = occ_doc[valid] * (1 << 32) + (occ_pos[valid] - j)
+        keys = kj if keys is None else np.intersect1d(
+            keys, kj, assume_unique=True
+        )
+        if keys.size == 0:
+            return np.zeros(cand.size, dtype=bool)
+    hit_docs = np.unique(keys >> np.int64(32))
+    pos = np.searchsorted(hit_docs, cand64)
+    ok = pos < hit_docs.size
+    mask = np.zeros(cand.size, dtype=bool)
+    mask[ok] = hit_docs[pos[ok]] == cand64[ok]
+    return mask
+
+
 def _topk(scores: np.ndarray, docnos: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Top-k by (score desc, docno asc); deterministic."""
     if scores.size == 0:
@@ -144,9 +194,14 @@ def score_group(
     groups: list[tuple[int, ...]] | None = None,
     n_groups: int | None = None,
     msm: int | None = None,
+    phrase_tps: list[list[TermPostings]] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (segment, shard) group. Returns (docnos, scores) of the
     local top-k, score-desc / docno-asc ordered.
+
+    ``phrase_tps``: per phrase, the member TermPostings (with pos_blob) in
+    phrase order — candidates failing the consecutive-position check are
+    dropped BEFORE top-k selection (J-5).
 
     ``allow_docnos`` / ``deny_docnos`` implement filter pushdown into the
     kernel (P-2..P-5 predicates resolved to shard-local docno sets) and
@@ -177,10 +232,16 @@ def score_group(
         docnos, scores = _score_or_maxscore(
             terms, k, k1, b, avgdl,
             unlimited=(allow_docnos is not None or deny_docnos is not None
-                       or bool(not_terms)),
+                       or bool(not_terms) or bool(phrase_tps)),
         )
     else:
         docnos, scores = _score_taat(terms, op, k1, b, avgdl)
+    # phrase adjacency filter (J-5) — before top-k, like every filter
+    if phrase_tps:
+        keep = np.ones(docnos.size, dtype=bool)
+        for ptps in phrase_tps:
+            keep &= phrase_mask(docnos, ptps)
+        docnos, scores = docnos[keep], scores[keep]
     # NOT clause (J-4) + filters (P-*) + deletes (P-7)
     if not_terms or allow_docnos is not None or deny_docnos is not None:
         keep = np.ones(docnos.size, dtype=bool)

@@ -54,6 +54,7 @@ def _make_kernel(
     term_groups: dict[str, tuple[int, ...]] | None = None,
     n_groups: int | None = None,
     msm: int | None = None,
+    phrases: list[list[str]] | None = None,
 ):
     """Build the per-(segment, shard) scoring function (U-5)."""
 
@@ -71,15 +72,32 @@ def _make_kernel(
             return _EMPTY
         seg = int(pdf["segment_id"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
+        pos_blobs = (
+            pdf["positions"] if "positions" in pdf.columns else [None] * len(pdf)
+        )
         pos_tps, neg_tps, pos_groups = [], [], []
-        for term, blob in zip(pdf["term"], pdf["postings"]):
-            tp = TermPostings(term=term, idf=qidf.get(term, 0.0), blob=bytes(blob))
+        by_term: dict[str, TermPostings] = {}
+        for term, blob, pblob in zip(pdf["term"], pdf["postings"], pos_blobs):
+            tp = TermPostings(
+                term=term,
+                idf=qidf.get(term, 0.0),
+                blob=bytes(blob),
+                pos_blob=bytes(pblob) if pblob is not None else None,
+            )
+            by_term[term] = tp
             if term in not_terms:
                 neg_tps.append(tp)
             else:
                 pos_tps.append(tp)
                 if term_groups is not None:
                     pos_groups.append(term_groups[term])
+        phrase_tps = None
+        if phrases:
+            phrase_tps = []
+            for ph in phrases:
+                if any(t not in by_term for t in ph):
+                    return _EMPTY  # a phrase term absent here → no match
+                phrase_tps.append([by_term[t] for t in ph])
         if op == "AND":
             # required coverage in this shard: every term (or, with synonym
             # groups, every group) must have at least one posting list here
@@ -121,6 +139,7 @@ def _make_kernel(
             groups=pos_groups if term_groups is not None else None,
             n_groups=n_groups,
             msm=msm,
+            phrase_tps=phrase_tps,
         )
         return pd.DataFrame(
             {
@@ -209,8 +228,29 @@ def search_index(
             return spark.createDataFrame([], "doc_id long, score double")
     qidf = {t: float(bm25_idf(n_docs, dfmap[t])) for t in terms}
 
+    phrases = [ph for ph in pq.phrases if all(t in dfmap for t in ph)]
+    if pq.phrases and len(phrases) < len(pq.phrases):
+        # a phrase containing an unindexed term can never match
+        return spark.createDataFrame([], "doc_id long, score double")
+    if phrases and pq.op != "AND":
+        raise ValueError("phrase queries are supported under AND semantics")
+    postings_df = store.postings(spark)
+    if phrases and "positions" not in postings_df.columns:
+        raise ValueError(
+            "phrase query against an index without positions — rebuild with "
+            "EngineConfig(store_positions=True)"
+        )
     fetch_terms = terms + not_terms
-    cand = store.postings(spark).where(F.col("term").isin(fetch_terms))
+    # explicit projection: the positions sidecar column is scanned ONLY
+    # when a phrase needs it (column pruning = Lucene's .pos file split)
+    cols = ["segment_id", "shard", "term", "postings"] + (
+        ["positions"] if phrases else []
+    )
+    cand = (
+        store.postings(spark)
+        .where(F.col("term").isin(fetch_terms))
+        .select(*cols)
+    )
 
     masks = []
     if allow_doc_ids is not None:
@@ -250,6 +290,7 @@ def search_index(
         term_groups=term_groups,
         n_groups=pq.n_groups if term_groups is not None else None,
         msm=pq.msm,
+        phrases=phrases or None,
     )
     if masks:
         mask_df = masks[0]

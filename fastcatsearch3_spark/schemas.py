@@ -49,6 +49,13 @@ POSTINGS = T.StructType(
     ]
 )
 
+# Positional variant (J-5, EngineConfig.store_positions): positions is a
+# SEPARATE blob column so non-phrase queries never scan a positions byte
+# (Lucene's .doc/.pos split, re-expressed as parquet column pruning).
+POSTINGS_POS = T.StructType(
+    POSTINGS.fields + [T.StructField("positions", T.BinaryType(), True)]
+)
+
 # Merged global term dictionary (I-7).
 LEXICON = T.StructType(
     [

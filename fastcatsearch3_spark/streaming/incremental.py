@@ -218,17 +218,27 @@ def run_incremental_stream(
 _DECODE_SCHEMA = (
     "segment_id int, shard int, term string, docno bigint, tf bigint, dl bigint"
 )
+_DECODE_SCHEMA_POS = _DECODE_SCHEMA + ", pos binary"
 
 
 def _decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: packed posting rows → exploded posting entries.
-    Vectorized VByte decode per blob; Python loops only over terms."""
+    Vectorized VByte decode per blob; Python loops only over terms.
+
+    When the index stores positions, each entry also carries its encoded
+    position run (``pos``): within-doc position gaps are docno-independent,
+    so compaction re-packs the bytes verbatim — no positions re-encode."""
+    from fastcatsearch3_spark.functions.vbyte import split_positions_bytes
+
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        segs, shards, terms, docnos, tfs, dls = [], [], [], [], [], []
-        for seg, shard, term, blob in zip(
-            pdf["segment_id"], pdf["shard"], pdf["term"], pdf["postings"]
+        has_pos = "positions" in pdf.columns
+        pos_col = pdf["positions"] if has_pos else [None] * len(pdf)
+        segs, shards, terms, docnos, tfs, dls, poss = [], [], [], [], [], [], []
+        for seg, shard, term, blob, pblob in zip(
+            pdf["segment_id"], pdf["shard"], pdf["term"], pdf["postings"],
+            pos_col,
         ):
             d, t, l = decode_postings(bytes(blob))
             n = d.size
@@ -238,16 +248,19 @@ def _decode_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             docnos.append(d.astype(np.int64))
             tfs.append(t.astype(np.int64))
             dls.append(l.astype(np.int64))
-        yield pd.DataFrame(
-            {
-                "segment_id": np.concatenate(segs),
-                "shard": np.concatenate(shards),
-                "term": terms,
-                "docno": np.concatenate(docnos),
-                "tf": np.concatenate(tfs),
-                "dl": np.concatenate(dls),
-            }
-        )
+            if has_pos:
+                poss.extend(split_positions_bytes(bytes(pblob), t))
+        cols = {
+            "segment_id": np.concatenate(segs),
+            "shard": np.concatenate(shards),
+            "term": terms,
+            "docno": np.concatenate(docnos),
+            "tf": np.concatenate(tfs),
+            "dl": np.concatenate(dls),
+        }
+        if has_pos:
+            cols["pos"] = poss
+        yield pd.DataFrame(cols)
 
 
 def compact(
@@ -276,17 +289,25 @@ def compact(
     )
     remap = new_assign.select("segment_id", "shard", "docno", "nshard", "ndocno")
 
-    exploded = store.postings(spark).mapInPandas(_decode_iter, _DECODE_SCHEMA)
+    postings_df = store.postings(spark)
+    with_pos = "positions" in postings_df.columns
+    exploded = postings_df.mapInPandas(
+        _decode_iter, _DECODE_SCHEMA_POS if with_pos else _DECODE_SCHEMA
+    )
     tf_rows = exploded.join(remap, ["segment_id", "shard", "docno"]).select(
         F.col("nshard").alias("shard"),
         F.col("ndocno").alias("docno"),
         "dl",
         "term",
         "tf",
+        *(["pos"] if with_pos else []),
     )
     npart = 2 * max(spark.sparkContext.defaultParallelism, cfg.num_shards)
+    from fastcatsearch3_spark.operators.build import PACK_SCHEMA_POS
+
     packed = tf_rows.repartition(npart, "shard", "term").mapInPandas(
-        make_pack_stream(cfg.block_size, combine=False), PACK_SCHEMA
+        make_pack_stream(cfg.block_size, combine=False),
+        PACK_SCHEMA_POS if with_pos else PACK_SCHEMA,
     )
 
     tmp = root / ".compact"

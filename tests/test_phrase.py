@@ -1,0 +1,154 @@
+"""Positional postings + phrase queries (SURVEY.md J-5).
+
+Layers: positions codec round-trip (property), phrase kernel vs an
+independent pandas re-implementation (rank-identity incl. completeness),
+and compaction preserving positions byte-exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.functions.vbyte import (
+    decode_positions_blob,
+    encode_positions_blob,
+    split_positions_bytes,
+    vbyte_encode,
+)
+from fastcatsearch3_spark.index import IndexStore
+from fastcatsearch3_spark.operators import build as B
+from fastcatsearch3_spark.operators.ingest import load_documents
+from fastcatsearch3_spark.plans.query import parse_query
+from fastcatsearch3_spark.plans.search import search_index
+
+CFG = EngineConfig(num_shards=4, store_positions=True)
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+def _encode_entry(positions: np.ndarray) -> bytes:
+    d = positions.astype(np.int64).copy()
+    d[1:] -= positions[:-1]
+    return vbyte_encode(d.astype(np.uint64)).tobytes()
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_positions_blob_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    n_entries = int(rng.integers(1, 400))
+    entries = []
+    for _ in range(n_entries):
+        tf = int(rng.integers(1, 12))
+        pos = np.sort(
+            rng.choice(np.arange(0, 5000), size=tf, replace=False)
+        ).astype(np.int64)
+        entries.append(pos)
+    tfs = np.array([e.size for e in entries], dtype=np.uint64)
+    entry_bytes = np.array([_encode_entry(e) for e in entries], dtype=object)
+    blob = encode_positions_blob(entry_bytes, block_size=64)
+
+    flat, starts = decode_positions_blob(blob, tfs)
+    want = np.concatenate(entries)
+    assert flat.astype(np.int64).tolist() == want.tolist()
+    assert starts.tolist() == np.concatenate(
+        ([0], np.cumsum(tfs.astype(np.int64))[:-1])
+    ).tolist()
+
+    back = split_positions_bytes(blob, tfs)
+    assert back == [bytes(b) for b in entry_bytes]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pos_index"))
+    B.build_index(spark, load_documents(spark, SF), root, CFG)
+    return IndexStore(root)
+
+
+@pytest.fixture(scope="module")
+def docs_pd(spark):
+    return load_documents(spark, SF).select("doc_id", "content").toPandas()
+
+
+def _phrase_docs(docs_pd: pd.DataFrame, phrase: list[str]) -> set[int]:
+    out = set()
+    for _, r in docs_pd.iterrows():
+        t = re.findall(r"[a-z0-9]+", str(r["content"]).lower())
+        for i in range(len(t) - len(phrase) + 1):
+            if t[i : i + len(phrase)] == phrase:
+                out.add(int(r["doc_id"]))
+                break
+    return out
+
+
+@pytest.mark.parametrize("qtext,phrase", [
+    ('"table value"', ["table", "value"]),
+    ('"key agg row"', ["key", "agg", "row"]),
+])
+def test_phrase_rank_identical(spark, store, docs_pd, qtext, phrase):
+    pq = parse_query(qtext, CFG)
+    assert pq.phrases == [phrase]
+    got = search_index(spark, store, pq, k=10).toPandas()
+
+    want_docs = _phrase_docs(docs_pd, phrase)
+    # expected = AND search over the same terms restricted to phrase docs
+    and_hits = search_index(
+        spark, store, parse_query(" ".join(phrase), CFG), k=10_000
+    ).toPandas()
+    expect = and_hits[and_hits["doc_id"].isin(want_docs)].head(10)
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), expect["score"].to_numpy(), atol=1e-9
+    )
+
+
+def test_phrase_completeness_vs_bruteforce(spark, store, docs_pd):
+    """Every phrase doc (not just top-k) must be retrievable."""
+    phrase = ["table", "value"]
+    got = search_index(spark, store, parse_query('"table value"', CFG), k=10_000).toPandas()
+    assert set(got["doc_id"]) == _phrase_docs(docs_pd, phrase)
+
+
+def test_phrase_requires_positions(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("nopos_index"))
+    cfg = EngineConfig(num_shards=2)
+    B.build_index(spark, load_documents(spark, SF), root, cfg)
+    with pytest.raises(ValueError, match="store_positions"):
+        search_index(
+            spark, IndexStore(root), parse_query('"table value"', cfg), k=5
+        ).collect()
+
+
+def test_compact_preserves_positions(spark, store, docs_pd, tmp_path_factory):
+    """Compaction must carry the positions sidecar through the re-pack
+    (byte-reuse path) — phrase results identical after compact."""
+    import shutil
+
+    from fastcatsearch3_spark.streaming.incremental import compact
+
+    root2 = str(tmp_path_factory.mktemp("pos_compact"))
+    shutil.rmtree(root2)
+    shutil.copytree(store.root, root2)
+    compact(spark, root2, CFG)
+    before = search_index(
+        spark, store, parse_query('"table value"', CFG), k=20
+    ).toPandas()
+    after = search_index(
+        spark, IndexStore(root2), parse_query('"table value"', CFG), k=20
+    ).toPandas()
+    assert before["doc_id"].tolist() == after["doc_id"].tolist()
+    np.testing.assert_allclose(
+        before["score"].to_numpy(), after["score"].to_numpy(), atol=1e-9
+    )
