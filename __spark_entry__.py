@@ -522,6 +522,18 @@ def _q_bm25_phrase(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25_field(spark, sf_dir):
+    # field-qualified search (multi-index collections): the repo field is
+    # indexed alongside content ("repo:term" keys, its own avgdl); the
+    # query ANDs a repo-qualified term with a content term, each scored
+    # with its field's BM25 length norm
+    cfg_f = EngineConfig(indexed_fields=("content", "repo"))
+    store = _packed_store(spark, sf_dir, cfg=cfg_f)
+    pq = parse_query("repo:src1 spark", cfg_f)
+    hits = search_index(spark, store, pq, k=_K)
+    return hits.select("doc_id", _e4())
+
+
 def _q_search_highlight(spark, sf_dir):  # F-7 whole-field highlight of top-k
     store = _packed_store(spark, sf_dir)
     hits = search_index(spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), k=_K)
@@ -576,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_paging": _q_search_paging,
         "bm25_msm": _q_bm25_msm,
         "bm25_phrase": _q_bm25_phrase,
+        "bm25_field": _q_bm25_field,
         "search_highlight": _q_search_highlight,
     }
 
@@ -976,6 +989,42 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
   FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
   WHERE a.term = 'table' AND b.term = 'hash')""",
         ),
+        # per-field BM25: content term scored with content avgdl, repo-
+        # qualified term with the repo field's avgdl (= Σ repo tokens /
+        # n_docs, the engine's sum(cf)/n_docs definition); AND over both
+        "bm25_field": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+ndocs AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+rtok AS (SELECT doc_id,
+           'repo:' || unnest(regexp_extract_all(lower(source), '[a-z0-9]+'))
+             AS term
+         FROM documents),
+rtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM rtok
+        GROUP BY doc_id, term),
+rdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) dl FROM rtok GROUP BY doc_id),
+cav AS (SELECT sum(dl) * 1.0 / (SELECT n FROM ndocs) avgdl FROM dl),
+rav AS (SELECT sum(dl) * 1.0 / (SELECT n FROM ndocs) avgdl FROM rdl),
+q AS (
+  SELECT t.doc_id, t.term, t.tf, l.dl, (SELECT avgdl FROM cav) avgdl
+  FROM tf t JOIN dl l USING (doc_id) WHERE t.term = 'spark'
+  UNION ALL
+  SELECT t.doc_id, t.term, t.tf, l.dl, (SELECT avgdl FROM rav) avgdl
+  FROM rtf t JOIN rdl l USING (doc_id) WHERE t.term = 'repo:src1'
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM q GROUP BY term),
+scored AS (
+  SELECT q.doc_id,
+         ln(1.0 + ((SELECT n FROM ndocs) - d.df + 0.5) / (d.df + 0.5))
+           * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * q.dl / q.avgdl))
+           AS partial
+  FROM q JOIN dfq d USING (term)),
+agg AS (SELECT doc_id, sum(partial) score, count(*) nt FROM scored
+        GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) score_e4 FROM agg
+WHERE nt = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
         # whole-field highlight: \b ≡ the engine's case-insensitive
         # alnum-boundary lookarounds on this [a-z0-9 .] corpus
         "search_highlight": f"""

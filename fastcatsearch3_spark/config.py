@@ -44,6 +44,13 @@ class EngineConfig:
     # every non-phrase query's scan) — enables phrase queries (J-5); off by
     # default like Lucene's IndexOptions: positions cost ~1-2 bytes/token
     store_positions: bool = False
+    # searchable fields (the reference's multiple IndexSettings per
+    # collection, SURVEY.md §1 [K]): corpus columns indexed side by side.
+    # "content" terms are stored bare; any other field f stores its terms
+    # as "f:term" (terms are [a-z0-9]+ / CJK bigrams, so ':' is unambiguous)
+    # and scores with its own per-field avgdl (per-field length norm).
+    # Query syntax: "repo:spark" → field-qualified term.
+    indexed_fields: tuple[str, ...] = ("content",)
     stopwords: tuple[str, ...] = field(default_factory=tuple)
     analyzer: str = "standard"
     analyzer_version: str = ANALYZER_VERSION
@@ -56,6 +63,7 @@ class EngineConfig:
         """JSON-stable dict (round-trips through manifests identically)."""
         d = asdict(self)
         d["stopwords"] = list(d["stopwords"])
+        d["indexed_fields"] = list(d["indexed_fields"])
         return d
 
     @classmethod
@@ -63,4 +71,6 @@ class EngineConfig:
         d = dict(d)
         if "stopwords" in d and d["stopwords"] is not None:
             d["stopwords"] = tuple(d["stopwords"])
+        if "indexed_fields" in d and d["indexed_fields"] is not None:
+            d["indexed_fields"] = tuple(d["indexed_fields"])
         return cls(**d)

@@ -160,6 +160,7 @@ def tokenize_udf(cfg: EngineConfig | None = None):
     cfg = cfg or EngineConfig()
     d = cfg.to_dict()
     d["stopwords"] = tuple(d["stopwords"])
+    d["indexed_fields"] = tuple(d["indexed_fields"])
     return _tokenize_udf_cached(tuple(sorted(d.items())))
 
 
@@ -189,4 +190,5 @@ def tokens_string_udf(cfg: EngineConfig | None = None):
     cfg = cfg or EngineConfig()
     d = cfg.to_dict()
     d["stopwords"] = tuple(d["stopwords"])
+    d["indexed_fields"] = tuple(d["indexed_fields"])
     return _tokens_string_udf_cached(tuple(sorted(d.items())))

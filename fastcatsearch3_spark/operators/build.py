@@ -89,7 +89,7 @@ TOKCOMBINE_SCHEMA = "shard int, docno bigint, dl bigint, term string, tf bigint"
 TOKCOMBINE_SCHEMA_POS = TOKCOMBINE_SCHEMA + ", pos binary"
 
 
-def make_tokenize_combine_stream(cfg: EngineConfig):
+def make_tokenize_combine_stream(cfg: EngineConfig, term_prefix: str = ""):
     """mapInPandas kernel: (shard, docno, content) batches → combined
     (shard, docno, dl, term, tf[, pos]) rows — tokenize AND occurrence→tf
     combine in one vectorized pass (flat factorize + keyed grouping).
@@ -123,6 +123,8 @@ def make_tokenize_combine_stream(cfg: EngineConfig):
             )
             rows = np.repeat(np.arange(len(toks)), lens)
             codes, uniq = pd.factorize(pd.Series(flat))
+            if term_prefix:  # field-qualified terms ("f:term", F-field ext)
+                uniq = pd.Index([term_prefix + u for u in uniq])
             nuniq = len(uniq) + 1
             key = rows * nuniq + codes
             shard = pdf["shard"].to_numpy(np.int32)
@@ -337,6 +339,7 @@ def build_segment(
     # checkpoint with column pruning instead of re-running the window
     # shuffle (which a second action would otherwise recompute — Spark does
     # not reuse exchanges across jobs).
+    extra_fields = [f for f in cfg.indexed_fields if f != "content"]
     w = Window.partitionBy("shard").orderBy("doc_id")
     seg_base = (
         corpus.withColumn(
@@ -353,6 +356,9 @@ def build_segment(
             F.xxhash64("repo", "path").alias("pk_hash"),
             "content_sha256",
             "content",
+            # extra searchable fields (multi-index collections) ride the
+            # stage shuffle too — tiny next to content
+            *extra_fields,
         )
     )
     if verify_integrity:
@@ -431,6 +437,18 @@ def build_segment(
     tf_rows = staged.select("shard", "docno", "content").mapInPandas(
         make_tokenize_combine_stream(cfg), tok_schema
     )
+    # extra indexed fields (the reference's multiple IndexSettings per
+    # collection): one tokenize pass per field over its (tiny) column,
+    # terms stored as "field:term", per-field dl embedded per entry →
+    # per-field BM25 length norm falls out of the same blob format
+    for field in extra_fields:
+        frows = staged.select(
+            "shard", "docno", F.col(field).alias("content")
+        ).mapInPandas(
+            make_tokenize_combine_stream(cfg, term_prefix=f"{field}:"),
+            tok_schema,
+        )
+        tf_rows = tf_rows.unionByName(frows)
 
     packed = (
         tf_rows.repartition(2 * target, "shard", "term")
@@ -576,10 +594,26 @@ def publish_lexicon(
     row = docmap.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
     ).collect()[0]
+    n_docs = int(row["n_docs"]) or 0
+    # per-field avgdl (multi-index collections): Σcf of a field's terms is
+    # exactly that field's total token count — one tiny agg over the
+    # already-aggregated lexicon rows, no extra corpus pass
+    avgdl_by_field = {}
+    if n_docs and len(cfg.indexed_fields) > 1:
+        fld = F.when(
+            F.col("term").contains(":"), F.split("term", ":", 2)[0]
+        ).otherwise(F.lit("content"))
+        for r in (
+            postings.groupBy(fld.alias("field"))
+            .agg(F.sum("cf").alias("toks"))
+            .collect()
+        ):
+            avgdl_by_field[r["field"]] = (r["toks"] or 0) / n_docs
     stats = {
-        "n_docs": int(row["n_docs"]),
+        "n_docs": n_docs,
         "total_tokens": int(row["total_tokens"] or 0),
-        "avgdl": (row["total_tokens"] or 0) / row["n_docs"] if row["n_docs"] else 0.0,
+        "avgdl": (row["total_tokens"] or 0) / n_docs if n_docs else 0.0,
+        "avgdl_by_field": avgdl_by_field,
         "n_segments": n_segments,
         "config": cfg.to_dict(),
     }

@@ -112,14 +112,32 @@ def parse_query(
                 pos_words.append(w)
     neg_words = [w for w in neg_words if w != "\0PENDING"]
     pos_words = phrase_words + pos_words
+
+    def analyze_word(w: str) -> tuple[str, list[str]]:
+        """→ (term key prefix, analyzed tokens). "repo:spark" qualifies the
+        token to the repo field — term key "repo:spark" (multi-index
+        collections); the default content field stays bare."""
+        if ":" in w:
+            fld, rest = w.split(":", 1)
+            if fld and rest:
+                if fld not in cfg.indexed_fields:
+                    raise ValueError(
+                        f"unknown search field {fld!r} (indexed: "
+                        f"{cfg.indexed_fields})"
+                    )
+                pref = "" if fld == "content" else f"{fld}:"
+                return pref, tokenize_text(rest, cfg)
+        return "", tokenize_text(w, cfg)
+
     terms: list[str] = []
     groups: list[int] = []
     gid = 0
     for w in pos_words:
-        for t in tokenize_text(w, cfg):
-            terms.append(t)
+        pref, toks = analyze_word(w)
+        for t in toks:
+            terms.append(pref + t)
             groups.append(gid)
-            if synonyms and t in synonyms:
+            if synonyms and not pref and t in synonyms:
                 for s in synonyms[t]:
                     for st in tokenize_text(s, cfg):
                         terms.append(st)
@@ -127,7 +145,8 @@ def parse_query(
             gid += 1
     nterms: list[str] = []
     for w in neg_words:
-        nterms.extend(tokenize_text(w, cfg))
+        pref, toks = analyze_word(w)
+        nterms.extend(pref + t for t in toks)
     # de-dup, order-preserving (duplicate query terms score once, matching
     # set-semantics BM25 — and the DuckDB oracle's DISTINCT term list).
     # A term kept once must still credit EVERY group it belongs to (it may

@@ -69,22 +69,29 @@ class TermPostings:
     idf: float
     blob: bytes
     pos_blob: bytes | None = None
+    # per-field average document length (multi-index collections): a
+    # field-qualified term normalizes against ITS field's avgdl; None →
+    # the caller's global (content) avgdl
+    avgdl: float | None = None
     meta: PostingMeta = field(init=False)
 
     def __post_init__(self):
         self.meta = decode_meta(self.blob)
 
+    def adl(self, global_avgdl: float) -> float:
+        return self.avgdl if self.avgdl is not None else global_avgdl
+
     def upper_bound(self, k1: float, b: float, avgdl: float) -> float:
         """idf × max over blocks of tf_norm(max_tf, min_dl) — valid because
         tf_norm is increasing in tf and decreasing in dl."""
         ub = bm25_tf_norm(
-            self.meta.block_maxtf, self.meta.block_mindl, k1, b, avgdl
+            self.meta.block_maxtf, self.meta.block_mindl, k1, b, self.adl(avgdl)
         )
         return float(self.idf * ub.max())
 
     def block_upper_bounds(self, k1: float, b: float, avgdl: float) -> np.ndarray:
         return self.idf * bm25_tf_norm(
-            self.meta.block_maxtf, self.meta.block_mindl, k1, b, avgdl
+            self.meta.block_maxtf, self.meta.block_mindl, k1, b, self.adl(avgdl)
         )
 
 
@@ -111,7 +118,9 @@ def _probe(
     ok = pos < d.size
     member = np.zeros(cand.size, dtype=bool)
     member[ok] = d[pos[ok]] == cand[ok]
-    contrib = tp.idf * bm25_tf_norm(t[pos[member]], l[pos[member]], k1, b, avgdl)
+    contrib = tp.idf * bm25_tf_norm(
+        t[pos[member]], l[pos[member]], k1, b, tp.adl(avgdl)
+    )
     return member, contrib
 
 
@@ -294,7 +303,7 @@ def _score_taat(
     hits = np.zeros(size, dtype=np.int32)
     group_docs: dict[int, list[np.ndarray]] = {}
     for i, tp, d, t, l in decoded:
-        acc[d] += tp.idf * bm25_tf_norm(t, l, k1, b, avgdl)
+        acc[d] += tp.idf * bm25_tf_norm(t, l, k1, b, tp.adl(avgdl))
         if groups is None:
             hits[d] += 1
         else:
@@ -323,7 +332,7 @@ def _score_and_bmw(
     lead = order[0]
     d, t, l = decode_postings(lead.blob, lead.meta)
     cand = d.astype(np.int64)
-    score = lead.idf * bm25_tf_norm(t, l, k1, b, avgdl)
+    score = lead.idf * bm25_tf_norm(t, l, k1, b, lead.adl(avgdl))
     for tp in order[1:]:
         if cand.size == 0:
             break
@@ -363,7 +372,7 @@ def _score_or_maxscore(
         if unlimited or i == 0 or not np.isfinite(theta) or theta < rem:
             d, t, l = decode_postings(tp.blob, tp.meta)
             dn = d.astype(np.int64)
-            acc[dn] += tp.idf * bm25_tf_norm(t, l, k1, b, avgdl)
+            acc[dn] += tp.idf * bm25_tf_norm(t, l, k1, b, tp.adl(avgdl))
             present[dn] = True
         else:
             live = np.nonzero(present)[0]

@@ -55,8 +55,11 @@ def _make_kernel(
     n_groups: int | None = None,
     msm: int | None = None,
     phrases: list[list[str]] | None = None,
+    term_avgdl: dict[str, float] | None = None,
 ):
-    """Build the per-(segment, shard) scoring function (U-5)."""
+    """Build the per-(segment, shard) scoring function (U-5).
+    ``term_avgdl``: per-term avgdl overrides for field-qualified terms
+    (per-field BM25 length norm)."""
 
     _EMPTY = pd.DataFrame(
         {
@@ -83,6 +86,7 @@ def _make_kernel(
                 idf=qidf.get(term, 0.0),
                 blob=bytes(blob),
                 pos_blob=bytes(pblob) if pblob is not None else None,
+                avgdl=(term_avgdl or {}).get(term),
             )
             by_term[term] = tp
             if term in not_terms:
@@ -183,6 +187,13 @@ def search_index(
     pq = parse_query(query, cfg) if isinstance(query, str) else query
     stats = store.stats()
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    # field-qualified terms normalize against their own field's avgdl
+    avgdl_by_field = stats.get("avgdl_by_field") or {}
+    term_avgdl = {
+        t: avgdl_by_field[t.split(":", 1)[0]]
+        for t in pq.terms + pq.not_terms
+        if ":" in t and t.split(":", 1)[0] in avgdl_by_field
+    }
 
     all_terms = list(dict.fromkeys(pq.terms + pq.not_terms))
     if not pq.terms or n_docs == 0:
@@ -291,6 +302,7 @@ def search_index(
         n_groups=pq.n_groups if term_groups is not None else None,
         msm=pq.msm,
         phrases=phrases or None,
+        term_avgdl=term_avgdl or None,
     )
     if masks:
         mask_df = masks[0]

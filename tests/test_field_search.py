@@ -1,0 +1,124 @@
+"""Field-qualified search (multi-index collections, SURVEY.md §1 [K]).
+
+The repo field is indexed alongside content; "repo:term" queries score
+with the repo field's own avgdl. Verified against an independent pandas
+BM25 with per-field stats.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.index import IndexStore
+from fastcatsearch3_spark.operators import build as B
+from fastcatsearch3_spark.operators.ingest import load_documents
+from fastcatsearch3_spark.plans.query import parse_query
+from fastcatsearch3_spark.plans.search import search_index
+
+CFG = EngineConfig(num_shards=4, indexed_fields=("content", "repo"))
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("field_index"))
+    B.build_index(spark, load_documents(spark, SF), root, CFG)
+    return IndexStore(root)
+
+
+@pytest.fixture(scope="module")
+def docs_pd(spark):
+    return load_documents(spark, SF).select(
+        "doc_id", "repo", "content"
+    ).toPandas()
+
+
+def test_parse_field_terms():
+    pq = parse_query("repo:src1 spark", CFG)
+    assert pq.terms == ["repo:src1", "spark"]
+    with pytest.raises(ValueError, match="unknown search field"):
+        parse_query("nosuch:src1", CFG)
+    # content: prefix maps to the bare default field
+    assert parse_query("content:spark", CFG).terms == ["spark"]
+
+
+def _tok(s: str) -> list[str]:
+    return re.findall(r"[a-z0-9]+", str(s).lower())
+
+
+def _field_oracle(docs_pd: pd.DataFrame, qterms: list[tuple[str, str]],
+                  k1=1.2, b=0.75, k=10) -> pd.DataFrame:
+    """qterms: (field, token). AND-gated per-field BM25, per-field avgdl
+    = total field tokens / n_docs."""
+    n = len(docs_pd)
+    toks = {
+        "content": docs_pd["content"].map(_tok),
+        "repo": docs_pd["repo"].map(_tok),
+    }
+    avgdl = {f: sum(len(t) for t in s) / n for f, s in toks.items()}
+    rows: dict[int, list[float]] = {}
+    for fld, term in qterms:
+        s = toks[fld]
+        tf = s.map(lambda t: t.count(term))
+        df = int((tf > 0).sum())
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i in np.nonzero(tf.to_numpy())[0]:
+            dl = len(s.iloc[i])
+            v = idf * tf.iloc[i] * (k1 + 1) / (
+                tf.iloc[i] + k1 * (1 - b + b * dl / avgdl[fld])
+            )
+            rows.setdefault(i, []).append(v)
+    items = [
+        (int(docs_pd["doc_id"].iloc[i]), sum(vs))
+        for i, vs in rows.items()
+        if len(vs) == len(qterms)
+    ]
+    items.sort(key=lambda x: (-x[1], x[0]))
+    return pd.DataFrame(items[:k], columns=["doc_id", "score"])
+
+
+def test_field_search_rank_identical(spark, store, docs_pd):
+    got = search_index(
+        spark, store, parse_query("repo:src1 spark", CFG), k=10
+    ).toPandas()
+    want = _field_oracle(docs_pd, [("repo", "src1"), ("content", "spark")])
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
+    )
+    # every hit really is in src1
+    src = docs_pd.set_index("doc_id").loc[got["doc_id"], "repo"]
+    assert (src == "src1").all()
+
+
+def test_field_negation(spark, store, docs_pd):
+    got = search_index(
+        spark, store, parse_query("spark -repo:src1", CFG), k=200
+    ).toPandas()
+    src = docs_pd.set_index("doc_id").loc[got["doc_id"], "repo"]
+    assert (src != "src1").all()
+    assert len(got) > 0
+
+
+def test_unqualified_results_unchanged_by_field_indexing(spark, store, tmp_path_factory):
+    """Adding the repo index must not change plain content-query scores
+    (content stats unaffected by other fields)."""
+    root = str(tmp_path_factory.mktemp("plain_index"))
+    cfg = EngineConfig(num_shards=4)
+    B.build_index(spark, load_documents(spark, SF), root, cfg)
+    plain = search_index(
+        spark, IndexStore(root), parse_query("spark merge", cfg), k=10
+    ).toPandas()
+    multi = search_index(
+        spark, store, parse_query("spark merge", CFG), k=10
+    ).toPandas()
+    assert plain["doc_id"].tolist() == multi["doc_id"].tolist()
+    np.testing.assert_allclose(
+        plain["score"].to_numpy(), multi["score"].to_numpy(), atol=1e-12
+    )
