@@ -329,7 +329,16 @@ def build_segment(
     # analyzer to one core, because Catalyst evaluates projects below the
     # window exchange. Round-robin to full parallelism first; at scale the
     # input is thousands of files and this is a no-op.
-    target = max(spark.sparkContext.defaultParallelism, cfg.num_shards)
+    #
+    # Task-count discipline (measured): every partition costs a fixed
+    # Python-worker/Arrow round-trip (~0.1 s) plus serial driver
+    # scheduling, so partition counts follow CORES (defaultParallelism /
+    # spark.sql.shuffle.partitions), never num_shards — shard is a DATA
+    # key (docno density, skew bound), not a task count. The previous
+    # max(parallelism, num_shards) put ~1800 tasks through a 256-shard
+    # build regardless of corpus size, ~100 s of pure overhead at
+    # local[2].
+    target = spark.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < target:
         corpus = corpus.repartition(target)
 
@@ -340,9 +349,17 @@ def build_segment(
     # shuffle (which a second action would otherwise recompute — Spark does
     # not reuse exchanges across jobs).
     extra_fields = [f for f in cfg.indexed_fields if f != "content"]
+    toks = tokens_raw_column(cfg)
     w = Window.partitionBy("shard").orderBy("doc_id")
     seg_base = (
-        corpus.withColumn(
+        corpus
+        # dl computed HERE, map-side before the stage shuffle: it rides the
+        # shuffle as 8 bytes and makes pass A below a pure projection of
+        # the staged parquet (no analyzer re-run, content column pruned
+        # from its scan) — the analyzer runs once per document per build
+        # instead of twice
+        .withColumn("dl", dl_column(toks(F.col("content"))))
+        .withColumn(
             "shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.num_shards)).cast("int")
         )
         .withColumn("docno", (F.row_number().over(w) - 1).cast("long"))
@@ -354,6 +371,7 @@ def build_segment(
             # later segment carrying the same pk supersedes this row
             # (DeleteIdSet semantics, core:ir.index.DeleteIdSet [K])
             F.xxhash64("repo", "path").alias("pk_hash"),
+            "dl",
             "content_sha256",
             "content",
             # extra searchable fields (multi-index collections) ride the
@@ -390,37 +408,42 @@ def build_segment(
         raise
     staged = spark.read.parquet(staged_path)
 
-    # Pass A — docmap: doc-level rows only; narrow scan → analyze (for dl)
-    # → write, no shuffle.
-    toks = tokens_raw_column(cfg)
-    docmap = staged.withColumn("toks", toks(F.col("content"))).select(
+    # Pass A — docmap: doc-level rows only; pure projection of the staged
+    # checkpoint (dl was computed during the stage pass) — the scan prunes
+    # the content column entirely and runs no Python.
+    docmap = staged.select(
         F.lit(segment_id).cast("int").alias("segment_id"),
         "shard",
         "docno",
         "doc_id",
         "pk_hash",
-        dl_column("toks").alias("dl"),
+        "dl",
         "content_sha256",
     )
     schemas.assert_schema(docmap, schemas.DOCMAP, "docmap")
     # segment_id is carried by the partition directory, not a data column
     # (writing both collides with Spark's partition-column inference).
-    docmap_path = str(root / "docmap" / f"segment_id={segment_id}")
-    docmap.drop("segment_id").write.mode("overwrite").parquet(docmap_path)
+    # Segment stats ride the SAME job as the write (Observation collects
+    # them as the rows stream past) — previously a separate re-scan job,
+    # a pure serial-tail cost at every parallelism level.
+    from pyspark.sql import Observation
 
-    # Segment stats from the just-written columnar docmap (fast scan, and it
-    # audits what actually landed on disk rather than the in-flight plan).
-    stats_row = (
-        spark.read.parquet(docmap_path)
-        .agg(
-            F.count("*").alias("n_docs"),
+    obs = Observation(f"seg{segment_id}_stats")
+    docmap_path = str(root / "docmap" / f"segment_id={segment_id}")
+    (
+        docmap.drop("segment_id")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("total_tokens"),
             F.expr(
                 "bit_xor(cast(conv(substr(content_sha256, 1, 15), 16, 10) as bigint))"
             ).alias("sha_xor"),
         )
-        .collect()[0]
+        .write.mode("overwrite")
+        .parquet(docmap_path)
     )
+    stats_row = obs.get
     n_docs = stats_row["n_docs"]
 
     # Pass B — postings: tokenize + occurrence→tf combine in ONE Python
@@ -451,7 +474,10 @@ def build_segment(
         tf_rows = tf_rows.unionByName(frows)
 
     packed = (
-        tf_rows.repartition(2 * target, "shard", "term")
+        # partition count = spark.sql.shuffle.partitions (the standard
+        # per-task-memory knob, 2×cores in jobs/bench; raised, not
+        # num_shards, at 100 TB) — co-locates each (shard, term) wholly
+        tf_rows.repartition("shard", "term")
         .mapInPandas(make_pack_stream(cfg.block_size, combine=False), pack_schema)
         .withColumn("segment_id", F.lit(segment_id).cast("int"))
         .select(*posting_cols)
@@ -590,10 +616,25 @@ def publish_lexicon(
     schemas.assert_schema(lex, schemas.LEXICON, "lexicon")
     lex.write.mode("overwrite").parquet(str(root / "lexicon"))
 
-    docmap = spark.read.parquet(str(root / "docmap"))
-    row = docmap.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
-    ).collect()[0]
+    # corpus stats: summed from per-segment manifests (already audited at
+    # write time via Observation) — no docmap re-scan job; fall back to a
+    # docmap scan only if a manifest predates the total_tokens field
+    seg_ids = sorted(
+        int(p.stem.split("-", 1)[1])
+        for p in (root / "manifest").glob("segment-*.json")
+    ) if (root / "manifest").exists() else []
+    manifests = [read_manifest(index_root, s) for s in seg_ids]
+    if manifests and all(
+        m and "n_docs" in m and "total_tokens" in m for m in manifests
+    ):
+        n_docs = sum(m["n_docs"] for m in manifests)
+        total_tokens = sum(m["total_tokens"] for m in manifests)
+        row = {"n_docs": n_docs, "total_tokens": total_tokens}
+    else:
+        docmap = spark.read.parquet(str(root / "docmap"))
+        row = docmap.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("total_tokens")
+        ).collect()[0]
     n_docs = int(row["n_docs"]) or 0
     # per-field avgdl (multi-index collections): Σcf of a field's terms is
     # exactly that field's total token count — one tiny agg over the

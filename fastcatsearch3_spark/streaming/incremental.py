@@ -330,7 +330,12 @@ def compact(
         .write.mode("overwrite")
         .parquet(str(tmp / "docmap" / "segment_id=0"))
     )
-    n_docs = spark.read.parquet(str(tmp / "docmap" / "segment_id=0")).count()
+    stats_row = (
+        spark.read.parquet(str(tmp / "docmap" / "segment_id=0"))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("toks"))
+        .collect()[0]
+    )
+    n_docs = stats_row["n"]
 
     # Crash-safe swap (ADVICE r01): the live directories are renamed ASIDE
     # (.old suffix) first, the new ones renamed in, and only then are the
@@ -355,6 +360,7 @@ def compact(
         "segment_id": 0,
         "status": "complete",
         "n_docs": int(n_docs),
+        "total_tokens": int(stats_row["toks"] or 0),
         "config": cfg.to_dict(),
         "lineage": {"kind": "compaction", "compacted_from": old_segments},
         "metrics": {"elapsed_sec": round(elapsed, 3)},
