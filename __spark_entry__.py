@@ -544,6 +544,85 @@ def _q_search_highlight(spark, sf_dir):  # F-7 whole-field highlight of top-k
     )
 
 
+# ---------------------------------------------------------------------------
+# S-1..S-3 source connectors — round-trip through each format, then prove
+# lossless ingest with the sha256 invariant against the parquet original.
+# (reference: DBReaderSource / CSV·JSON file sources, SURVEY.md §2 S-1..S-3)
+# ---------------------------------------------------------------------------
+
+def _source_cache(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize documents in ``fmt`` once per (source content, format);
+    returns the path. Keyed by the same fingerprint as the index cache so
+    regenerated testdata invalidates it."""
+    key = hashlib.sha256(
+        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{fmt}".encode()
+    ).hexdigest()[:16]
+    base = Path(tempfile.gettempdir()) / "fcs3_source_cache" / key
+    done = base / "_DONE"
+    path = str(base / fmt)
+    if not done.exists():
+        docs = _docs(spark, sf_dir)
+        if fmt == "csv":
+            # RFC4180 (doubled-quote escaping) both ways → lossless for any
+            # text incl. embedded delimiters/newlines/quotes
+            (docs.write.mode("overwrite")
+                 .option("quote", '"').option("escape", '"')
+                 .option("quoteAll", True).option("emptyValue", '""')
+                 .csv(path))
+        elif fmt == "json":
+            docs.write.mode("overwrite").json(path)
+        elif fmt == "jdbc":
+            # embedded Derby: one JVM in local mode; on a cluster the same
+            # write/read code points at a networked RDBMS URL instead
+            (docs.write.mode("overwrite")
+                 .jdbc(f"jdbc:derby:{path};create=true", "documents"))
+        done.parent.mkdir(parents=True, exist_ok=True)
+        done.touch()
+    return path
+
+
+_SOURCE_SHA = (
+    "SELECT doc_id, sha256(text) AS content_sha256, lang, source, n_chars"
+    " FROM documents"
+)
+
+
+def _source_sha(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.sha2("text", 256).alias("content_sha256"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _q_source_csv(spark, sf_dir):  # S-2: CSV source connector
+    path = _source_cache(spark, sf_dir, "csv")
+    schema = _docs(spark, sf_dir).schema
+    df = (spark.read.schema(schema)
+          .option("quote", '"').option("escape", '"')
+          .option("multiLine", True).option("emptyValue", "")
+          .csv(path))
+    return _source_sha(df)
+
+
+def _q_source_json(spark, sf_dir):  # S-3: JSON source connector
+    path = _source_cache(spark, sf_dir, "json")
+    schema = _docs(spark, sf_dir).schema
+    return _source_sha(spark.read.schema(schema).json(path))
+
+
+def _q_source_jdbc(spark, sf_dir):  # S-1: JDBC (DBReader) source connector
+    path = _source_cache(spark, sf_dir, "jdbc")
+    df = (spark.read
+          .option("partitionColumn", "doc_id")
+          .option("lowerBound", 0).option("upperBound", 1 << 30)
+          .option("numPartitions", 4)
+          .jdbc(f"jdbc:derby:{path}", "documents"))
+    return _source_sha(df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -590,6 +669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": _q_bm25_phrase,
         "bm25_field": _q_bm25_field,
         "search_highlight": _q_search_highlight,
+        "source_csv": _q_source_csv,
+        "source_json": _q_source_json,
+        "source_jdbc": _q_source_jdbc,
     }
 
 
@@ -1034,4 +1116,9 @@ SELECT f.doc_id, f.score_e4,
 FROM ({_bm25_sql(_Q_AND2, "AND", _K, order_raw=True)}) f
 JOIN documents d USING (doc_id)
 """,
+        # S-1..S-3: the engine side round-trips through JDBC/CSV/JSON and
+        # must reproduce the parquet original byte-for-byte (sha256)
+        "source_csv": _SOURCE_SHA,
+        "source_json": _SOURCE_SHA,
+        "source_jdbc": _SOURCE_SHA,
     }

@@ -37,9 +37,11 @@ def token_counts(docs: DataFrame) -> DataFrame:
     regex token count."""
     return docs.select(
         "doc_id",
-        F.size(
-            F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
-        ).cast("long").alias("ws_tokens"),
+        # drop empty fragments without an interpreted lambda HOF:
+        # size(a) - |empties| via array_remove stays in whole-stage codegen
+        F.size(F.array_remove(F.split(F.col("text"), "\\s+"), ""))
+        .cast("long")
+        .alias("ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
         .cast("long")
         .alias("bpe_tokens"),
@@ -78,7 +80,6 @@ def quality_score(docs: DataFrame, cfg: EngineConfig | None = None) -> DataFrame
     """
     cfg = cfg or EngineConfig()
     toks = tokens_raw_column(cfg)
-    en = F.array(*[F.lit(w) for w in LANG_LEXICONS["en"]])
     t = (
         docs.withColumn("toks", toks(F.col("text")))
         .withColumn("n_chars", F.length("text").cast("long"))
@@ -93,8 +94,15 @@ def quality_score(docs: DataFrame, cfg: EngineConfig | None = None) -> DataFrame
             F.when(F.col("toks")[0] == "", 0).otherwise(F.size("toks")).cast("long"),
         )
         .withColumn(
+            # multiset membership count without an interpreted lambda HOF:
+            # occurrences of w in toks == size(toks) - size(array_remove(toks, w));
+            # 7 codegen'd array passes beat one interpreted filter() (~40%
+            # measured on the analyzer hot path, see operators/build.py notes)
             "n_stop",
-            F.size(F.filter("toks", lambda x: F.array_contains(en, x))).cast("long"),
+            sum(
+                (F.size("toks") - F.size(F.array_remove("toks", w)))
+                for w in LANG_LEXICONS["en"]
+            ).cast("long"),
         )
     )
     alnum_ratio = F.when(F.col("n_chars") > 0, F.col("n_alnum") / F.col("n_chars")).otherwise(0.0)
