@@ -95,11 +95,17 @@ _DL = f"SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ({_TOK}) GROUP BY doc
 
 def _bm25_sql(terms: list[str], op: str, k: int, not_terms: list[str] | None = None,
               order_raw: bool = False, msm: int | None = None,
-              extra_where: str | None = None, offset: int = 0) -> str:
+              extra_where: str | None = None, offset: int = 0,
+              src: str = "documents", prelude: str = "") -> str:
     """DuckDB BM25 oracle (same formula/constants as EngineConfig).
     ``msm``: minimum-should-match gate (nt >= msm) instead of the AND gate;
     ``extra_where``: doc-level predicate appended to the gate (mirrors the
-    engine's allow/deny docno masks); ``offset``: paging."""
+    engine's allow/deny docno masks); ``offset``: paging; ``src``/``prelude``:
+    score over a derived corpus relation (extra leading CTEs, e.g. the
+    incremental-upsert live corpus) instead of the raw documents view."""
+    tok = _TOK.replace("FROM documents", f"FROM {src}")
+    tf_sql = _TF.replace(_TOK, tok)
+    dl_sql = _DL.replace(_TOK, tok)
     tlist = ", ".join(f"'{t}'" for t in terms)
     if msm is not None:
         gate = f"WHERE nt >= {msm}"
@@ -109,7 +115,7 @@ def _bm25_sql(terms: list[str], op: str, k: int, not_terms: list[str] | None = N
     if not_terms:
         nlist = ", ".join(f"'{t}'" for t in not_terms)
         excl = (
-            f"AND doc_id NOT IN (SELECT DISTINCT doc_id FROM ({_TOK}) "
+            f"AND doc_id NOT IN (SELECT DISTINCT doc_id FROM ({tok}) "
             f"WHERE term IN ({nlist}))"
         )
     if extra_where:
@@ -123,8 +129,8 @@ def _bm25_sql(terms: list[str], op: str, k: int, not_terms: list[str] | None = N
     )
     off = f" OFFSET {offset}" if offset else ""
     return f"""
-WITH tf AS ({_TF}),
-dl AS ({_DL}),
+WITH {prelude}tf AS ({tf_sql}),
+dl AS ({dl_sql}),
 stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
 qtf AS (SELECT * FROM tf WHERE term IN ({tlist})),
 dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
@@ -545,6 +551,69 @@ def _q_search_highlight(spark, sf_dir):  # F-7 whole-field highlight of top-k
 
 
 # ---------------------------------------------------------------------------
+# ST-1/ST-2/J-7/P-7 (+ ST-4/I-6 in the compacted variant): the incremental
+# lifecycle as an oracle-checked driver query. Scenario (deterministic in
+# doc_id, so DuckDB can replay it declaratively):
+#   seg0  = docs with even doc_id            (initial build)
+#   seg1  = docs with odd  doc_id            (append batch)
+#   seg2  = docs with doc_id%10==0, text||' updated'  (upsert batch →
+#           tombstones mask the seg0 copies)
+#   then delete_by_pk(doc_id%97==3)          (tombstones every live copy)
+# Pre-compaction the engine scores with PHYSICAL stats (df/N/avgdl count
+# every segment copy; tombstones are a deny mask, postings are immutable) —
+# the `incremental_search` oracle mirrors exactly that. After compact()
+# the physical corpus == live corpus, so `incremental_compact_search`
+# reuses the plain logical-corpus BM25 oracle.
+# ---------------------------------------------------------------------------
+
+def _incr_store(spark: SparkSession, sf_dir: str, compacted: bool) -> IndexStore:
+    import shutil
+
+    from fastcatsearch3_spark.streaming.incremental import (
+        append_segment,
+        compact,
+        delete_by_pk,
+    )
+
+    tag = "incr_compact" if compacted else "incr"
+    key = hashlib.sha256(
+        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{sorted(CFG.to_dict().items())}|{tag}".encode()
+    ).hexdigest()[:16]
+    root = Path(tempfile.gettempdir()) / "fcs3_incr_cache" / key
+    done = root / "_SCENARIO_DONE"
+    if not done.exists():
+        if root.exists():  # partially-built scenario from a crashed run
+            shutil.rmtree(root)
+        corpus = _corpus(spark, sf_dir)
+        docs = _docs(spark, sf_dir)
+        build_index(
+            spark, corpus.where(F.col("doc_id") % 2 == 0), str(root), CFG
+        )
+        append_segment(spark, str(root), docs.where(F.col("doc_id") % 2 == 1), CFG)
+        updates = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" updated"))
+        )
+        append_segment(spark, str(root), updates, CFG)
+        delete_by_pk(spark, str(root), corpus.where(F.col("doc_id") % 97 == 3))
+        if compacted:
+            compact(spark, str(root), CFG)
+        done.touch()
+    return IndexStore(str(root))
+
+
+def _q_incremental_search(spark, sf_dir):  # ST-1/ST-2/J-7/P-7 via packed path
+    store = _incr_store(spark, sf_dir, compacted=False)
+    hits = search_index(spark, store, " ".join(_Q_AND2), k=_K)
+    return hits.select("doc_id", _e4())
+
+
+def _q_incremental_compact_search(spark, sf_dir):  # ST-4/I-6: merged segment
+    store = _incr_store(spark, sf_dir, compacted=True)
+    hits = search_index(spark, store, " ".join(_Q_AND2), k=_K)
+    return hits.select("doc_id", _e4())
+
+
+# ---------------------------------------------------------------------------
 # S-1..S-3 source connectors — round-trip through each format, then prove
 # lossless ingest with the sha256 invariant against the parquet original.
 # (reference: DBReaderSource / CSV·JSON file sources, SURVEY.md §2 S-1..S-3)
@@ -672,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_csv": _q_source_csv,
         "source_json": _q_source_json,
         "source_jdbc": _q_source_jdbc,
+        "incremental_search": _q_incremental_search,
+        "incremental_compact_search": _q_incremental_compact_search,
     }
 
 
@@ -1121,4 +1192,53 @@ JOIN documents d USING (doc_id)
         "source_csv": _SOURCE_SHA,
         "source_json": _SOURCE_SHA,
         "source_jdbc": _SOURCE_SHA,
+        # pre-compaction incremental index: stats over the PHYSICAL corpus
+        # (every segment copy; updated docs exist twice), tombstones as a
+        # live-copy allow join — exactly the engine's immutable-segment
+        # semantics (see _incr_store scenario comment)
+        "incremental_search": f"""
+WITH phys AS (
+  SELECT doc_id, 0 AS seg, text FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS seg, text || ' updated' AS text FROM documents
+  WHERE doc_id % 10 = 0
+),
+live AS (
+  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 0 END AS seg
+  FROM documents WHERE doc_id % 97 <> 3
+),
+tok AS (SELECT doc_id, seg,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM phys),
+tf AS (SELECT doc_id, seg, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, seg, term),
+dl AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS dl
+       FROM tok GROUP BY doc_id, seg),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'merge')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.seg,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id, seg)
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, seg, sum(partial) AS score, count(*) AS nt
+        FROM scored GROUP BY doc_id, seg)
+SELECT a.doc_id, CAST(round(a.score * 10000) AS BIGINT) AS score_e4
+FROM agg a JOIN live l ON a.doc_id = l.doc_id AND a.seg = l.seg
+WHERE a.nt = 2
+ORDER BY a.score DESC, a.doc_id ASC LIMIT {_K}
+""",
+        # post-compaction: physical == live, so the plain logical-corpus
+        # BM25 oracle applies to the upserted/deleted corpus
+        "incremental_compact_search": _bm25_sql(
+            _Q_AND2, "AND", _K, order_raw=True, src="live",
+            prelude=(
+                "live AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0"
+                " THEN text || ' updated' ELSE text END AS text"
+                " FROM documents WHERE doc_id % 97 <> 3),\n"
+            ),
+        ),
     }
