@@ -34,7 +34,7 @@ from fastcatsearch3_spark.operators.ingest import load_documents
 from fastcatsearch3_spark.plans import sql_bm25
 from fastcatsearch3_spark.plans.highlight import highlight_udf
 from fastcatsearch3_spark.plans.query import ParsedQuery, parse_query
-from fastcatsearch3_spark.plans.search import search_index
+from fastcatsearch3_spark.plans.search import match_doc_ids, search_index
 
 CFG = EngineConfig()
 
@@ -460,6 +460,45 @@ def _q_bm25_synonyms(spark, sf_dir):  # F-6 synonym groups: AND over groups
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25_prefix(spark, sf_dir):  # P-4 as a search clause: "s*" expands
+    # against the lexicon into a synonym-style group (scan, slow, small,
+    # sort, spark, stream at this sf), AND'd with "merge"
+    store = _packed_store(spark, sf_dir)
+    hits = search_index(spark, store, "s* merge", k=_K)
+    return hits.select("doc_id", _e4())
+
+
+def _q_pii_scrub(spark, sf_dir):  # training-data redaction pass (ext)
+    # append deterministic synthetic PII so the scrub provably fires
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    s = TS.pii_scrub(aug)
+    return s.select(
+        "doc_id", F.sha2("text", 256).alias("scrubbed_sha256"), "n_pii"
+    )
+
+
+def _q_search_facet(spark, sf_dir):  # A-1 computed over the Q-3/Q-4 match
+    # set (facets on search results): distributed no-top-k match path
+    store = _packed_store(spark, sf_dir)
+    ids = match_doc_ids(spark, store, " ".join(_Q_AND2))
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        d.join(ids, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("lang"))
+    )
+
+
 def _q_search_hydrate(spark, sf_dir):  # Q-5 result hydration (stored fields)
     store = _packed_store(spark, sf_dir)
     hits = search_index(spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), k=_K)
@@ -656,6 +695,31 @@ _SOURCE_SHA = (
 )
 
 
+def _pii_scrub_sql() -> str:
+    """DuckDB mirror of dataops.textstats.pii_scrub over the augmented
+    corpus: counts per pattern on the ORIGINAL text, then a sequential
+    replace chain (same order as the engine)."""
+    from fastcatsearch3_spark.dataops.textstats import PII_PATTERNS
+
+    counts = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat in PII_PATTERNS
+    )
+    scrub = "text"
+    for name, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact ' || CAST(doc_id AS VARCHAR) ||
+         '@example.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id, sha256({scrub}) AS scrubbed_sha256,
+       CAST({counts} AS BIGINT) AS n_pii
+FROM aug
+"""
+
+
 def _source_sha(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id",
@@ -743,6 +807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jdbc": _q_source_jdbc,
         "incremental_search": _q_incremental_search,
         "incremental_compact_search": _q_incremental_compact_search,
+        "bm25_prefix": _q_bm25_prefix,
+        "search_facet": _q_search_facet,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -1230,6 +1297,47 @@ SELECT a.doc_id, CAST(round(a.score * 10000) AS BIGINT) AS score_e4
 FROM agg a JOIN live l ON a.doc_id = l.doc_id AND a.seg = l.seg
 WHERE a.nt = 2
 ORDER BY a.score DESC, a.doc_id ASC LIMIT {_K}
+""",
+        # PII redaction over corpus + deterministic synthetic PII; patterns
+        # are shared literals (fastcatsearch3_spark.dataops.textstats
+        # .PII_PATTERNS) valid in both Java regex and RE2
+        "pii_scrub": _pii_scrub_sql(),
+        # facet counts over the AND(spark, merge) match set (no top-k)
+        "search_facet": f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents
+WHERE doc_id IN (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(DISTINCT term) AS nt FROM ({_TOK})
+    WHERE term IN ('spark', 'merge') GROUP BY doc_id
+  ) WHERE nt = 2
+)
+GROUP BY lang ORDER BY cnt DESC, lang ASC
+""",
+        # prefix term "s*" = one group of every matching lexicon term (df-
+        # capped at 32 — 6 matches here, no truncation), AND'd with merge
+        "bm25_prefix": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qterms AS (
+  SELECT term, 0 AS grp FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 's%')
+  UNION ALL
+  SELECT 'merge' AS term, 1 AS grp
+),
+qtf AS (SELECT t.doc_id, t.term, t.tf, q.grp
+        FROM tf t JOIN qterms q ON t.term = q.term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.grp,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score,
+               count(DISTINCT grp) AS ng FROM scored GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM agg WHERE ng = 2
+ORDER BY score DESC, doc_id ASC LIMIT {_K}
 """,
         # post-compaction: physical == live, so the plain logical-corpus
         # BM25 oracle applies to the upserted/deleted corpus

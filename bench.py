@@ -87,6 +87,26 @@ def main() -> None:
             timings[name] = round(min(reps), 3)
             lat.extend(reps)
 
+        # --- positional index + phrase query (J-5, r2) ------------------
+        # separate build so the headline index_build stays comparable to
+        # the r1 baseline; the delta shows what positions cost
+        root_pos = tempfile.mkdtemp(prefix="fcs3_bench_pos_")
+        try:
+            pos_cfg = EngineConfig(store_positions=True)
+            t0 = time.monotonic()
+            build_index(spark, corpus, root_pos, pos_cfg, resume=False)
+            timings["index_build_positions"] = round(time.monotonic() - t0, 3)
+            store_pos = IndexStore(root_pos)
+            reps = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                search_index(spark, store_pos, '"spark merge"', k=10).collect()
+                reps.append(time.monotonic() - t0)
+            timings["q_phrase"] = round(min(reps), 3)
+            lat.extend(reps)
+        finally:
+            shutil.rmtree(root_pos, ignore_errors=True)
+
         # --- declarative BM25 path for comparison ----------------------
         t0 = time.monotonic()
         sql_bm25.bm25_topk(corpus, ["spark", "merge"], k=10, cfg=cfg).collect()

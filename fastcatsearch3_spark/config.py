@@ -52,6 +52,10 @@ class EngineConfig:
     # Query syntax: "repo:spark" → field-qualified term.
     indexed_fields: tuple[str, ...] = ("content",)
     stopwords: tuple[str, ...] = field(default_factory=tuple)
+    # prefix (wildcard) terms "spar*" expand against the sorted lexicon at
+    # query time; cap the expansion (highest-df first, like the reference's
+    # prefix clause limit) so a 1-char prefix can't fan out unboundedly
+    max_prefix_expansion: int = 32
     analyzer: str = "standard"
     analyzer_version: str = ANALYZER_VERSION
     # on-disk layout revision: bump whenever docmap/postings schema or blob

@@ -117,6 +117,33 @@ def quality_score(docs: DataFrame, cfg: EngineConfig | None = None) -> DataFrame
     )
 
 
+# PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs, explicit character classes
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]"),
+)
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, n_pii): text with emails / IPv4s / phone-number runs
+    replaced by ``<TYPE>`` tags, plus the count of replacements — a
+    standard training-data redaction pass. Pure regexp_replace chain:
+    single-pass, JVM-side, scales linearly."""
+    out = docs.select("doc_id", "text")
+    n_pii = F.lit(0).cast("long")
+    for name, pat in PII_PATTERNS:
+        n_pii = n_pii + (
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        ).cast("long")
+    out = out.withColumn("n_pii", n_pii)
+    scrubbed = F.col("text")
+    for name, pat in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    return out.select("doc_id", scrubbed.alias("text"), "n_pii")
+
+
 def fingerprint(docs: DataFrame, cfg: EngineConfig | None = None,
                 n: int = 3, k: int = FINGERPRINT_K) -> DataFrame:
     """(doc_id, fingerprint): k-min sketch — md5 of the k smallest

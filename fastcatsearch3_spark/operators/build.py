@@ -4,15 +4,20 @@ Reference lifecycle being re-expressed (FullIndexJob → DataSourceReader →
 per-doc analysis → SegmentWriter memory-posting flush/merge →
 SegmentInfo registration [K]):
 
-    corpus ──shard window──▶ staged sharded corpus (one shuffle, checkpointed)
-      stage A: staged ──analyze(UDF→joined string, dl)──▶ docmap parquet
-      stage B: staged ──mapInPandas tokenize+tf-combine──▶
-               ──repartition(shard, term) mapInPandas pack──▶ postings parquet
+    pass 0: doc_id-only scan ──count per (partition, shard)──▶ docno offsets
+    stage:  corpus ──mapInPandas(analyze dl + local docno assign)──▶
+            staged sharded corpus (NO shuffle, checkpointed)
+      pass A: staged ──projection──▶ docmap parquet
+      pass B: staged ──mapInPandas tokenize+tf-combine──▶
+              ──repartition(shard, term) mapInPandas pack──▶ postings parquet
 
 Shuffle accounting (the 100 TB design constraint):
-  * shuffle 1: repartition by shard for dense docno assignment (row_number
-    over shard) — carries each doc's content exactly once;
-  * shuffle 2: repartition(P, shard, term) of the raw token-occurrence
+  * content NEVER shuffles: dense per-shard docnos are assigned locally
+    from pass-0 offsets (row counts per (input partition, shard) — a
+    pruned doc_id-only scan), replacing the old row_number-over-shard
+    window whose exchange + sort carried the full corpus and scaled at
+    0.64 (2→8 cores) vs 0.87+ for every other phase;
+  * shuffle: repartition(P, shard, term) of the combined token-tf
     stream to co-locate each (shard, term) posting list for packing; the
     occurrence→tf combine happens inside the vectorized pack kernel
     (factorize + lexsort + run-length — the reference's in-memory posting
@@ -40,7 +45,7 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fastcatsearch3_spark import schemas
@@ -83,6 +88,81 @@ def dl_column(toks: F.Column | str) -> F.Column:
     return (
         F.when(toks == F.array(F.lit("")), F.lit(0)).otherwise(F.size(toks))
     ).cast("long")
+
+
+def docno_offsets(corpus: DataFrame, num_shards: int) -> dict:
+    """Pass 0 of the shuffle-free stage: per-(input-partition, shard) row
+    counts → driver-side cumulative docno offsets.
+
+    Reads ONLY the doc_id column (parquet-pruned scan, no content), and the
+    counts are row-order-invariant, so the pass is immune to shuffle-read
+    nondeterminism. With these offsets every partition can assign dense
+    per-shard docnos LOCALLY — no content ever shuffles and no per-shard
+    row_number window runs (the window's exchange + sort was the worst-
+    scaling step of the old stage pass: measured eff 0.64 at 2→8 cores vs
+    0.87 for the Python-kernel postings pass)."""
+    rows = (
+        corpus.select(
+            F.spark_partition_id().alias("pid"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(num_shards)).cast("int").alias(
+                "shard"
+            ),
+        )
+        .groupBy("pid", "shard")
+        .count()
+        .collect()
+    )
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["pid"], r["count"]))
+    offsets: dict[tuple[int, int], int] = {}
+    for s, lst in by_shard.items():
+        acc = 0
+        for pid, c in sorted(lst):
+            offsets[(pid, s)] = acc
+            acc += c
+    return offsets
+
+
+def make_stage_stream(cfg: EngineConfig, offsets: dict, extra_fields: list[str]):
+    """mapInPandas kernel for the stage pass: per-partition batches of
+    (pid, shard, doc_id, pk_hash, content_sha256, content, extras) →
+    + (docno, dl) in ONE Arrow pass.
+
+    docno = offsets[(pid, shard)] + running count within the partition
+    (dense per shard across the segment); dl = analyzed token count (the
+    analyzer already had to cross Arrow for dl — fusing docno assignment
+    here makes the whole stage a narrow scan → kernel → write pipeline)."""
+    fn = ANALYZERS[cfg.analyzer]
+    out_cols = (
+        ["shard", "docno", "doc_id", "pk_hash", "dl", "content_sha256",
+         "content"] + extra_fields
+    )
+
+    def stage_batches(batches):
+        counters: dict[int, int] = {}
+        pid = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["pid"].iloc[0])
+            toks = fn(pdf["content"], cfg)
+            dl = toks.str.len().to_numpy(dtype=np.int64)
+            sh = pdf["shard"].to_numpy()
+            docno = np.empty(len(pdf), dtype=np.int64)
+            for s, idx in pd.Series(np.arange(len(pdf))).groupby(sh):
+                s = int(s)
+                pos = idx.to_numpy()
+                base = counters.get(s)
+                if base is None:
+                    base = offsets[(pid, s)]
+                docno[pos] = base + np.arange(pos.size)
+                counters[s] = base + pos.size
+            out = pdf.drop(columns=["pid"]).assign(docno=docno, dl=dl)
+            yield out[out_cols]
+
+    return stage_batches
 
 
 TOKCOMBINE_SCHEMA = "shard int, docno bigint, dl bigint, term string, tf bigint"
@@ -340,43 +420,45 @@ def build_segment(
     # local[2].
     target = spark.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < target:
-        corpus = corpus.repartition(target)
+        # hash repartition (NOT round-robin): partition membership must be
+        # a pure function of doc_id so the offsets pass and the stage pass
+        # below see identical (pid → rows) layouts across their two jobs
+        corpus = corpus.repartition(target, F.col("doc_id"))
 
-    # Stage pass — the only shuffle that carries content: shard + dense
-    # docno via the window, integrity-checked, written ONCE as a staged
-    # sharded corpus. Both downstream passes then read this columnar
-    # checkpoint with column pruning instead of re-running the window
-    # shuffle (which a second action would otherwise recompute — Spark does
-    # not reuse exchanges across jobs).
+    # Stage pass — ZERO content shuffle. Dense per-shard docnos used to
+    # come from a row_number window (= exchange by shard + sort of the
+    # full content); instead pass 0 counts rows per (partition, shard)
+    # over a doc_id-only scan and every partition assigns its docno range
+    # locally inside the same Arrow pass that runs the analyzer for dl.
+    # At 100 TB this removes the only full-corpus shuffle of the build —
+    # content now flows scan → kernel → staged write, narrow end to end.
+    # (Docnos within a shard follow partition order, not global doc_id
+    # order; postings still delta-gap over dense ids and the docmap is
+    # written sorted by (shard, docno) per file, which is what pruning
+    # and compression actually need.)
     extra_fields = [f for f in cfg.indexed_fields if f != "content"]
-    toks = tokens_raw_column(cfg)
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    offsets = docno_offsets(corpus, cfg.num_shards)
+    stage_schema = (
+        "shard int, docno bigint, doc_id bigint, pk_hash bigint, dl bigint,"
+        " content_sha256 string, content string"
+        + "".join(f", {f} string" for f in extra_fields)
+    )
     seg_base = (
-        corpus
-        # dl computed HERE, map-side before the stage shuffle: it rides the
-        # shuffle as 8 bytes and makes pass A below a pure projection of
-        # the staged parquet (no analyzer re-run, content column pruned
-        # from its scan) — the analyzer runs once per document per build
-        # instead of twice
-        .withColumn("dl", dl_column(toks(F.col("content"))))
+        corpus.withColumn("pid", F.spark_partition_id())
         .withColumn(
-            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.num_shards)).cast("int")
-        )
-        .withColumn("docno", (F.row_number().over(w) - 1).cast("long"))
-        .select(
             "shard",
-            "docno",
-            "doc_id",
-            # pk identifies the logical document across versions (J-7): a
-            # later segment carrying the same pk supersedes this row
-            # (DeleteIdSet semantics, core:ir.index.DeleteIdSet [K])
-            F.xxhash64("repo", "path").alias("pk_hash"),
-            "dl",
-            "content_sha256",
-            "content",
-            # extra searchable fields (multi-index collections) ride the
-            # stage shuffle too — tiny next to content
-            *extra_fields,
+            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.num_shards)).cast("int"),
+        )
+        # pk identifies the logical document across versions (J-7): a
+        # later segment carrying the same pk supersedes this row
+        # (DeleteIdSet semantics, core:ir.index.DeleteIdSet [K])
+        .withColumn("pk_hash", F.xxhash64("repo", "path"))
+        .select(
+            "pid", "shard", "doc_id", "pk_hash", "content_sha256",
+            "content", *extra_fields,
+        )
+        .mapInPandas(
+            make_stage_stream(cfg, offsets, extra_fields), stage_schema
         )
     )
     if verify_integrity:
@@ -407,6 +489,7 @@ def build_segment(
             ) from None
         raise
     staged = spark.read.parquet(staged_path)
+    t_stage = time.monotonic()
 
     # Pass A — docmap: doc-level rows only; pure projection of the staged
     # checkpoint (dl was computed during the stage pass) — the scan prunes
@@ -445,6 +528,7 @@ def build_segment(
     )
     stats_row = obs.get
     n_docs = stats_row["n_docs"]
+    t_docmap = time.monotonic()
 
     # Pass B — postings: tokenize + occurrence→tf combine in ONE Python
     # kernel (map-side combine), so the pack shuffle carries one compact
@@ -513,6 +597,13 @@ def build_segment(
         "metrics": {
             "elapsed_sec": round(elapsed, 3),
             "docs_per_sec": round(n_docs / elapsed, 1) if elapsed > 0 else None,
+            # per-phase lineage metrics (north_rule: "per-partition lineage
+            # + metrics"): where the wall time of this segment went
+            "phases": {
+                "stage_sec": round(t_stage - t0, 3),
+                "docmap_sec": round(t_docmap - t_stage, 3),
+                "postings_sec": round(elapsed - (t_docmap - t0), 3),
+            },
         },
     }
     write_manifest(index_root, segment_id, manifest)

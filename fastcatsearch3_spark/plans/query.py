@@ -132,7 +132,23 @@ def parse_query(
     terms: list[str] = []
     groups: list[int] = []
     gid = 0
+    has_prefix = False
     for w in pos_words:
+        if w.endswith("*") and len(w) > 1:
+            # prefix (wildcard) term: "spar*" → placeholder "spar*" kept in
+            # the term list; search_index expands it against the lexicon
+            # into a synonym-style group (any expansion matches the group).
+            # The stem runs the analyzer so query side == index side.
+            pref, toks = analyze_word(w[:-1])
+            if len(toks) != 1:
+                raise ValueError(
+                    f"prefix term {w!r} must analyze to one token, got {toks}"
+                )
+            terms.append(pref + toks[0] + "*")
+            groups.append(gid)
+            gid += 1
+            has_prefix = True
+            continue
         pref, toks = analyze_word(w)
         for t in toks:
             terms.append(pref + t)
@@ -145,6 +161,8 @@ def parse_query(
             gid += 1
     nterms: list[str] = []
     for w in neg_words:
+        if w.endswith("*") and len(w) > 1:
+            raise ValueError("prefix terms are not supported in NOT clauses")
         pref, toks = analyze_word(w)
         nterms.extend(pref + t for t in toks)
     # de-dup, order-preserving (duplicate query terms score once, matching
@@ -170,7 +188,8 @@ def parse_query(
         terms=dedup_terms,
         not_terms=nterms,
         op=op,
-        groups=dedup_groups if synonyms else None,
+        # prefix placeholders need group machinery even without synonyms
+        groups=dedup_groups if (synonyms or has_prefix) else None,
         msm=msm,
         phrases=phrases,
     )

@@ -166,6 +166,174 @@ def _make_kernel(
     return grouped
 
 
+def _expand_prefixes(
+    spark: SparkSession, store, pq: ParsedQuery, cfg: EngineConfig
+) -> ParsedQuery | None:
+    """Expand prefix placeholders ("spar*", possibly field-qualified) into
+    synonym-style groups against the lexicon (P-4 as a search clause; the
+    reference's prefix filter applied to the term dictionary).
+
+    The lexicon is tiny relative to postings and the scan is a pushed
+    ``StartsWith`` over the sorted term column, so at cluster scale this
+    reads a handful of row groups. Expansion is capped at
+    ``cfg.max_prefix_expansion`` keeping highest-df terms (deterministic
+    tie-break on term). Returns None when an AND-required prefix matches
+    nothing (the whole query can't match)."""
+    placeholders = [t for t in pq.terms if t.endswith("*")]
+    if not placeholders:
+        return pq
+    lexdf = store.lexicon(spark)
+    expansions: dict[str, list[str]] = {}
+    for ph in placeholders:
+        rows = (
+            lexdf.where(F.col("term").startswith(ph[:-1]))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(cfg.max_prefix_expansion)
+            .collect()
+        )
+        expansions[ph] = [r["term"] for r in rows]
+    groups = pq.groups or [(i,) for i in range(len(pq.terms))]
+    new_terms: list[str] = []
+    new_groups: list[tuple[int, ...]] = []
+    seen: dict[str, int] = {}
+    for t, gs in zip(pq.terms, groups):
+        reps = expansions[t] if t in expansions else [t]
+        if not reps and pq.op == "AND":
+            return None
+        for r in reps:
+            if r in seen:
+                prev = new_groups[seen[r]]
+                merged = prev + tuple(g for g in gs if g not in prev)
+                new_groups[seen[r]] = merged
+            else:
+                seen[r] = len(new_terms)
+                new_terms.append(r)
+                new_groups.append(tuple(gs))
+    if not new_terms:
+        return None
+    return ParsedQuery(
+        terms=new_terms,
+        not_terms=pq.not_terms,
+        op=pq.op,
+        groups=new_groups,
+        msm=pq.msm,
+        phrases=pq.phrases,
+    )
+
+
+_MATCH_SCHEMA = "segment_id int, shard int, docno bigint, gid int, neg int"
+
+
+def _make_match_kernel(
+    term_gids: dict[str, tuple[int, ...]], neg_terms: set[str]
+):
+    """mapInPandas kernel: packed posting rows → (docno, group-id) match
+    entries (no scoring). Negative-term entries carry neg=1."""
+
+    def decode_batches(batches):
+        from fastcatsearch3_spark.functions.vbyte import decode_postings
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            segs, shards, docnos, gids, negs = [], [], [], [], []
+            for seg, shard, term, blob in zip(
+                pdf["segment_id"], pdf["shard"], pdf["term"], pdf["postings"]
+            ):
+                d, _t, _l = decode_postings(bytes(blob))
+                n = d.size
+                if term in neg_terms:
+                    emit = [(-1, 1)]
+                else:
+                    emit = [(g, 0) for g in term_gids.get(term, ())]
+                for g, neg in emit:
+                    segs.append(np.full(n, seg, dtype=np.int32))
+                    shards.append(np.full(n, shard, dtype=np.int32))
+                    docnos.append(d.astype(np.int64))
+                    gids.append(np.full(n, g, dtype=np.int32))
+                    negs.append(np.full(n, neg, dtype=np.int32))
+            if not segs:
+                continue
+            yield pd.DataFrame(
+                {
+                    "segment_id": np.concatenate(segs),
+                    "shard": np.concatenate(shards),
+                    "docno": np.concatenate(docnos),
+                    "gid": np.concatenate(gids),
+                    "neg": np.concatenate(negs),
+                }
+            )
+
+    return decode_batches
+
+
+def match_doc_ids(
+    spark: SparkSession,
+    store,  # fastcatsearch3_spark.index.IndexStore
+    query: str | ParsedQuery,
+    apply_deletes: bool = True,
+) -> DataFrame:
+    """ALL doc_ids matching the boolean query — no ranking, no top-k.
+
+    This is the match-set feeder for facets computed over search results
+    (the reference's group-by/facet on the result set, A-1..A-3 applied
+    after Q-3/Q-4 [K]) and for bulk exports. Unlike ``search_index`` it
+    never collects hits to the driver: postings scan (isin pushdown) →
+    vectorized decode → distributed group-coverage aggregate → docmap
+    join, so a match set of any size stays an executor-side DataFrame.
+    """
+    cfg = store.config()
+    pq = parse_query(query, cfg) if isinstance(query, str) else query
+    pq = _expand_prefixes(spark, store, pq, cfg)
+    empty = spark.createDataFrame([], "doc_id long")
+    if pq is None or not pq.terms:
+        return empty
+    if pq.phrases:
+        raise ValueError("use search_index for phrase queries")
+    groups = pq.groups or [(i,) for i in range(len(pq.terms))]
+    term_gids = dict(zip(pq.terms, groups))
+    if pq.op == "AND":
+        required = pq.n_groups
+    else:
+        required = pq.msm if pq.msm is not None else 1
+    fetch = list(dict.fromkeys(pq.terms + pq.not_terms))
+    rows = (
+        store.postings(spark)
+        .where(F.col("term").isin(fetch))
+        .select("segment_id", "shard", "term", "postings")
+        .mapInPandas(
+            _make_match_kernel(term_gids, set(pq.not_terms)), _MATCH_SCHEMA
+        )
+    )
+    pos = rows.where(F.col("neg") == 0)
+    matched = (
+        pos.groupBy("segment_id", "shard", "docno")
+        .agg(F.countDistinct("gid").alias("ng"))
+        .where(F.col("ng") >= required)
+        .select("segment_id", "shard", "docno")
+    )
+    if pq.not_terms:
+        negd = rows.where(F.col("neg") == 1).select(
+            "segment_id", "shard", "docno"
+        )
+        matched = matched.join(
+            negd, ["segment_id", "shard", "docno"], "left_anti"
+        )
+    if apply_deletes:
+        denied = store.denied_mask(spark)
+        if denied is not None:
+            matched = matched.join(
+                denied.select("segment_id", "shard", "docno"),
+                ["segment_id", "shard", "docno"],
+                "left_anti",
+            )
+    return matched.join(
+        store.docmap(spark).select("segment_id", "shard", "docno", "doc_id"),
+        ["segment_id", "shard", "docno"],
+    ).select("doc_id")
+
+
 def search_index(
     spark: SparkSession,
     store,  # fastcatsearch3_spark.index.IndexStore
@@ -185,6 +353,9 @@ def search_index(
     global merge can skip offset rows exactly."""
     cfg = store.config()
     pq = parse_query(query, cfg) if isinstance(query, str) else query
+    pq = _expand_prefixes(spark, store, pq, cfg)
+    if pq is None:  # an AND'd prefix matched nothing in the lexicon
+        return spark.createDataFrame([], "doc_id long, score double")
     stats = store.stats()
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     # field-qualified terms normalize against their own field's avgdl

@@ -45,6 +45,27 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
     cfg = EngineConfig(num_shards=args.shards)
+
+    # Size file-scan partitions from the DATA, not Spark's 128 MB default:
+    # a small corpus in small files otherwise bin-packs into a handful of
+    # scan partitions (openCost + maxPartitionBytes), starving the analyzer
+    # kernel and (worse) tripping the build's repartition guard — which
+    # re-introduces the content shuffle the stage pass is designed to
+    # avoid. total/32 splits, capped at the stock 128 MB: at 100 TB this
+    # IS the stock setting; the knob only matters for small inputs. The
+    # divisor floor (32) dominates at ≤8 cores, so the scaling bench's two
+    # cluster sizes see the IDENTICAL split layout (fair comparison,
+    # deterministic pass-0 offsets); beyond that 4×cores keeps every core
+    # fed with ≥4 splits.
+    from pathlib import Path
+
+    cores = spark.sparkContext.defaultParallelism
+    total_bytes = sum(
+        f.stat().st_size for f in Path(args.input).rglob("*.parquet")
+    ) or (1 << 27)
+    split = max(1 << 20, min(1 << 27, total_bytes // max(32, 4 * cores)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
     corpus = normalize_corpus(spark.read.parquet(args.input))
 
     # Pre-warm the Python worker pool (part of session startup, excluded
@@ -78,6 +99,15 @@ def main() -> None:
     )
     elapsed = time.monotonic() - t0
     stats = read_stats(args.index_root)
+    from fastcatsearch3_spark.index import IndexStore
+
+    from fastcatsearch3_spark.operators.build import read_manifest
+
+    phases = {}
+    for seg in IndexStore(args.index_root).segments():
+        m = read_manifest(args.index_root, seg) or {}
+        for k, v in (m.get("metrics", {}).get("phases") or {}).items():
+            phases[k] = round(phases.get(k, 0.0) + v, 3)
     print(
         json.dumps(
             {
@@ -90,6 +120,7 @@ def main() -> None:
                 "warmup_sec": round(warmup_sec, 3),
                 "docs_per_sec": round(stats["n_docs"] / elapsed, 1),
                 "parallelism": spark.sparkContext.defaultParallelism,
+                "phases": phases,
             }
         )
     )

@@ -17,7 +17,16 @@ def main() -> None:
     ap.add_argument("--index-root", required=True)
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--offset", type=int, default=0, help="paging (O-2)")
     ap.add_argument("--mode", default="bmw", choices=["bmw", "exhaustive"])
+    ap.add_argument(
+        "--facet",
+        help="instead of ranked hits, print facet counts of this corpus "
+        "column over the full match set (requires --corpus)",
+    )
+    ap.add_argument(
+        "--corpus", help="parquet dir of the source corpus (for --facet)"
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -26,12 +35,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from fastcatsearch3_spark.index import IndexStore
-    from fastcatsearch3_spark.plans.search import search_index
+    from fastcatsearch3_spark.plans.search import match_doc_ids, search_index
 
     store = IndexStore(args.index_root)
-    hits = search_index(spark, store, args.query, k=args.k, mode=args.mode)
-    for row in hits.collect():
-        print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))
+    if args.facet:
+        if not args.corpus:
+            ap.error("--facet requires --corpus")
+        from pyspark.sql import functions as F
+
+        ids = match_doc_ids(spark, store, args.query)
+        docs = spark.read.parquet(args.corpus)
+        out = (
+            docs.join(ids, "doc_id")
+            .groupBy(args.facet)
+            .count()
+            .orderBy(F.desc("count"), F.asc(args.facet))
+        )
+        for row in out.collect():
+            print(json.dumps({args.facet: row[args.facet], "count": row["count"]}))
+    else:
+        hits = search_index(
+            spark, store, args.query, k=args.k, mode=args.mode,
+            offset=args.offset,
+        )
+        for row in hits.collect():
+            print(json.dumps({"doc_id": row["doc_id"], "score": row["score"]}))
     spark.stop()
 
 

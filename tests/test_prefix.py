@@ -1,0 +1,111 @@
+"""Prefix (wildcard) term queries: parser placeholders + lexicon expansion
+into synonym-style groups (reference's prefix clause, P-4 on the search
+path). End-to-end rank identity is covered by the `bm25_prefix` driver
+oracle; these tests pin the parser/expansion contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.plans.query import parse_query
+
+CFG = EngineConfig()
+
+
+def test_prefix_placeholder_and_groups():
+    pq = parse_query("spar* merge", CFG)
+    assert pq.terms == ["spar*", "merge"]
+    assert pq.groups == [(0,), (1,)]
+    assert pq.op == "AND"
+    assert pq.n_groups == 2
+
+
+def test_field_qualified_prefix():
+    cfg = EngineConfig(indexed_fields=("content", "repo"))
+    pq = parse_query("repo:spa* merge", cfg)
+    assert pq.terms == ["repo:spa*", "merge"]
+
+
+def test_prefix_rejected_in_not_clause():
+    with pytest.raises(ValueError, match="NOT"):
+        parse_query("merge -spar*", CFG)
+
+
+def test_prefix_stem_must_be_single_token():
+    with pytest.raises(ValueError, match="one token"):
+        parse_query("foo.bar*", CFG)
+
+
+def test_prefix_expansion_end_to_end(spark, tmp_path):
+    """"s*" over a 4-doc corpus must behave as OR(spark, slow) within its
+    group, AND'd with the other term; engine scores == exhaustive oracle
+    with explicit synonym groups."""
+    import pandas as pd
+
+    from fastcatsearch3_spark.index import IndexStore
+    from fastcatsearch3_spark.operators.build import build_index
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+    from fastcatsearch3_spark.plans.search import search_index
+    from tests.oracle import bm25_topk_oracle
+
+    rows = [
+        (1, "spark merge table"),
+        (2, "slow merge line"),
+        (3, "merge merge merge"),
+        (4, "spark slow value"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "src1",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    corpus = normalize_corpus(spark.createDataFrame(pdf))
+    cfg = EngineConfig(num_shards=2)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, cfg)
+    got = search_index(spark, IndexStore(root), "s* merge", k=10).toPandas()
+
+    sdf = corpus.select("doc_id", "content").toPandas()
+    # expansion of "s*" here = {spark, slow} (one group), merge = other group
+    exp = bm25_topk_oracle(
+        sdf,
+        ["spark", "slow", "merge"],
+        k=10,
+        op="AND",
+        cfg=cfg,
+        groups=[0, 0, 1],
+    )
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert got["score"].to_numpy() == pytest.approx(
+        exp["score"].to_numpy(), abs=1e-6
+    )
+
+
+def test_prefix_no_match_returns_empty(spark, tmp_path):
+    import pandas as pd
+
+    from fastcatsearch3_spark.index import IndexStore
+    from fastcatsearch3_spark.operators.build import build_index
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+    from fastcatsearch3_spark.plans.search import search_index
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["spark merge"],
+            "lang": "en",
+            "source": "src1",
+            "n_chars": [11],
+        }
+    )
+    corpus = normalize_corpus(spark.createDataFrame(pdf))
+    cfg = EngineConfig(num_shards=1)
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, cfg)
+    got = search_index(spark, IndexStore(root), "zz* merge", k=10).toPandas()
+    assert len(got) == 0
