@@ -56,6 +56,12 @@ class EngineConfig:
     # query time; cap the expansion (highest-df first, like the reference's
     # prefix clause limit) so a 1-char prefix can't fan out unboundedly
     max_prefix_expansion: int = 32
+    # hydrate strategy threshold (cost-based plan choice): below this
+    # docmap size a single-job broadcast join beats the two-job hit-key
+    # pushdown (a second scheduling round dominates small-index latency);
+    # above it the pushdown's pruned docmap scan is the only shape that
+    # survives 10^12 docs
+    hydrate_pushdown_min_docs: int = 10_000_000
     analyzer: str = "standard"
     analyzer_version: str = ANALYZER_VERSION
     # on-disk layout revision: bump whenever docmap/postings schema or blob

@@ -489,15 +489,31 @@ def search_index(
             kernel, KERNEL_SCHEMA
         )
 
-    # Q-5 hydrate docnos → doc_ids. The kernel output is result-sized
-    # (≤ (offset+k) rows per (segment, shard) group), so collect it and
-    # PUSH the hit keys into the docmap scan as predicates: segment_id
-    # prunes partitions, (shard, docno IN …) prunes row groups (docmap is
-    # written sorted by (shard, docno); at cluster scale it would also be
-    # bucketed by shard). The previous shape — full docmap scan + broadcast
-    # join — read the entire docmap per query, the dominant per-query cost
-    # at 10^12 docs. The collect is bounded by the result size, the same
-    # class as the final toPandas, never O(corpus).
+    # Q-5 hydrate docnos → doc_ids — a stats-driven strategy choice, like
+    # any cost-based planner:
+    #   * SMALL index (n_docs < cfg.hydrate_pushdown_min_docs): keep the
+    #     kernel output distributed and broadcast-join it against the full
+    #     docmap scan — ONE Spark job end to end; a second scheduling
+    #     round would dominate latency at this scale (measured: the
+    #     two-job shape doubled warm p50 on the sf0.1 bench).
+    #   * LARGE index: collect the result-sized hits (≤ (offset+k) rows
+    #     per (segment, shard) group — the same class as the final
+    #     toPandas, never O(corpus)) and PUSH the hit keys into the
+    #     docmap scan as predicates: segment_id prunes partitions,
+    #     (shard, docno IN …) prunes row groups (docmap is written sorted
+    #     by (shard, docno)). A full docmap scan per query is the
+    #     dominant per-query cost at 10^12 docs.
+    if n_docs < cfg.hydrate_pushdown_min_docs:
+        out = (
+            store.docmap(spark)
+            .select("segment_id", "shard", "docno", "doc_id")
+            .join(F.broadcast(hits), ["segment_id", "shard", "docno"])
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .offset(offset)
+            .limit(k)
+        )
+        return _hydrate(spark, store, out, hydrate, corpus_df)
     hit_rows = hits.collect()
     if not hit_rows:
         out = spark.createDataFrame([], "doc_id long, score double")
@@ -531,20 +547,27 @@ def search_index(
             .offset(offset)
             .limit(k)
         )
-    if hydrate:
-        if corpus_df is not None:
-            corpus = corpus_df
-        elif store.has_corpus():
-            corpus = store.corpus(spark)
-        else:
-            raise ValueError(
-                "hydrate=True needs stored fields: pass corpus_df= or keep a "
-                "corpus/ copy in the index root (the index itself stores only "
-                "doc_ids — SURVEY.md Q-5)"
-            )
-        out = (
-            corpus.join(F.broadcast(out), "doc_id")
-            .select("doc_id", "score", "repo", "path", "commit", "lang", "content")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+    return _hydrate(spark, store, out, hydrate, corpus_df)
+
+
+def _hydrate(
+    spark: SparkSession, store, out: DataFrame, hydrate: bool,
+    corpus_df: DataFrame | None,
+) -> DataFrame:
+    if not hydrate:
+        return out
+    if corpus_df is not None:
+        corpus = corpus_df
+    elif store.has_corpus():
+        corpus = store.corpus(spark)
+    else:
+        raise ValueError(
+            "hydrate=True needs stored fields: pass corpus_df= or keep a "
+            "corpus/ copy in the index root (the index itself stores only "
+            "doc_ids — SURVEY.md Q-5)"
         )
-    return out
+    return (
+        corpus.join(F.broadcast(out), "doc_id")
+        .select("doc_id", "score", "repo", "path", "commit", "lang", "content")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
