@@ -343,6 +343,11 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), CFG, n=3, top=50)
 
 
+def _q_dedup_clusters(spark, sf_dir):  # near-dup canonicalization (ext):
+    # connected components over verified LSH pairs, min-doc_id labels
+    return D.near_dup_clusters(_docs(spark, sf_dir), CFG, n=3)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     return D.simhash_top_pairs(_docs(spark, sf_dir), CFG, top=50)
 
@@ -780,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -863,6 +869,48 @@ cand AS (
 SELECT j.doc_a, j.doc_b, j.jaccard_e4
 FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 ORDER BY j.jaccard_e4 DESC, j.doc_a ASC, j.doc_b ASC LIMIT 50
+"""
+
+
+def _clusters_sql(threshold_e4: int = 6000) -> str:
+    """Connected components over the verified LSH edge set: transitive
+    closure by recursive CTE (fine at oracle scale — components are tiny),
+    cluster_id = min reachable doc_id (incl. self); singletons map to
+    themselves. The engine side runs the scalable min-label propagation."""
+    sigs = ", ".join(
+        f"min(md5('{i}:' || shingle)) sig_{i}" for i in range(D.NUM_HASHES)
+    )
+    rows = D.NUM_HASHES // D.BANDS
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {b} band, md5({cat}) band_key FROM sig".format(
+            b=b, cat=" || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(D.BANDS)
+    )
+    return f"""
+WITH RECURSIVE {_PAIR_JACCARD.strip().rstrip()},
+sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT c.doc_a a, c.doc_b b
+  FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+  WHERE j.jaccard_e4 >= {threshold_e4}
+  UNION
+  SELECT c.doc_b, c.doc_a
+  FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+  WHERE j.jaccard_e4 >= {threshold_e4}),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+mins AS (SELECT a, min(b) mn FROM reach GROUP BY a)
+SELECT d.doc_id,
+       CAST(COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN mins m ON d.doc_id = m.a
 """
 
 
@@ -1050,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM jac ORDER BY jaccard_e4 DESC, doc_a ASC, doc_b ASC LIMIT 50"
         ),
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_clusters": _clusters_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding_cosine": _emb_pairs_sql(),
         "ann_lsh_topk": _lsh_ann_sql(),

@@ -185,6 +185,27 @@ def minhash_lsh_pairs(
     cost proportional to true near-duplicates, NOT all pairs (this is the
     shingle self-join's scalable replacement). Output:
     doc_a, doc_b, jaccard_e4 — top-N by verified similarity."""
+    verified = _lsh_verified(docs, cfg, n, num_hashes, bands)
+    return (
+        verified.select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard") * 10000).cast("long").alias("jaccard_e4"),
+        )
+        .orderBy(F.desc("jaccard_e4"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(top)
+    )
+
+
+def _lsh_verified(
+    docs: DataFrame,
+    cfg: EngineConfig | None = None,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Verified LSH pairs (doc_a < doc_b, exact ``jaccard``), unlimited —
+    the shared feeder for top-pairs reporting and cluster assignment."""
     rows = num_hashes // bands
     # ONE shingle materialization (≈ token stream size, executor-local)
     # feeds both the signature aggregate and the candidate verify below —
@@ -257,14 +278,85 @@ def minhash_lsh_pairs(
             / (F.size("set_a") + F.size("set_b") - F.col("inter")),
         )
     )
-    return (
-        verified.select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("jaccard") * 10000).cast("long").alias("jaccard_e4"),
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    cfg: EngineConfig | None = None,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    threshold_e4: int = 6000,
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components over verified near-dup
+    pairs (round(jaccard·1e4) ≥ threshold_e4); cluster_id = min doc_id of
+    the component, singletons map to themselves — the canonicalization
+    step a dedup pipeline runs after pair generation (keep one doc per
+    cluster).
+
+    Scale shape: iterative min-label propagation over the edge list, which
+    after LSH verification is ≈|true near-duplicates| (tiny next to the
+    corpus). Rounds = component diameter — near-dup clusters are shallow
+    (a dup of a dup of a dup), so this converges in a handful of rounds;
+    each round is two hash joins + a groupBy on the edge relation, with a
+    local checkpoint to truncate lineage. The convergence check is a
+    count of changed labels (one scalar per round, no data collect)."""
+    # thresholded in e4 space so the DuckDB oracle's integer comparison
+    # can never disagree at the rounding boundary
+    edges = (
+        _lsh_verified(docs, cfg, n, num_hashes, bands)
+        .where(
+            F.round(F.col("jaccard") * 10000).cast("long") >= threshold_e4
         )
-        .orderBy(F.desc("jaccard_e4"), F.asc("doc_a"), F.asc("doc_b"))
-        .limit(top)
+        .select("doc_a", "doc_b")
+    )
+    und = (
+        edges.unionByName(
+            edges.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            und.join(labels, und["doc_b"] == labels["node"])
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = new_labels.select("node", "label").localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
     )
 
 

@@ -137,3 +137,35 @@ def test_multimodal_fake_decode_roundtrip(spark, docs):
 def test_multimodal_missing_codec_raises(spark, docs):
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         MM.extract_features(docs.limit(1), kind="image").collect()
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C near-dups (A never banded with C directly) must land in
+    ONE cluster labelled min(doc_id); unrelated docs stay singletons."""
+    import pandas as pd
+
+    from fastcatsearch3_spark.dataops.dedup import near_dup_clusters
+
+    words = [f"w{i}" for i in range(40)]
+    base = " ".join(words)
+    b = " ".join(["x0" if w == "w39" else w for w in words])   # ~A (1 edit)
+    c = " ".join(
+        ["x0" if w == "w39" else ("x1" if w == "w0" else w) for w in words]
+    )                                                          # ~B (2 edits)
+    rows = pd.DataFrame(
+        {
+            "doc_id": [10, 20, 30, 40],
+            "text": [base, b, c, "totally different words entirely here"],
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(base), len(b), len(c), 36],
+        }
+    )
+    out = (
+        near_dup_clusters(spark.createDataFrame(rows), n=3, threshold_e4=5000)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert out[10] == out[20] == out[30] == 10
+    assert out[40] == 40
