@@ -177,6 +177,43 @@ def _q_tf_table(spark, sf_dir):  # I-3 (map side): posting-entry relation
     )
 
 
+def _q_tf_code_identifiers(spark, sf_dir):  # F-4: camelCase/snake_case split
+    # deterministic code-identifier prefix per doc → the analyzer must
+    # split parseIndexBuffer/merge_segment exactly like the oracle's
+    # RE2-safe regexp_replace chain (no lookarounds)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("parseIndexBuffer merge_segment HTTPServer2 "), F.col("text")
+        ).alias("content"),
+    )
+    corpus = d.withColumn("repo", F.lit("x")).withColumn(
+        "path", F.col("doc_id").cast("string")
+    ).withColumn("commit", F.lit("c")).withColumn("lang", F.lit("en"))
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+
+    return sql_bm25.tf_table(normalize_corpus(corpus), CFG).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
+def _q_tf_cjk_bigrams(spark, sf_dir):  # F-3: CJK overlapping bigrams
+    # fixed CJK literal appended per doc; its overlapping bigrams are
+    # compile-time constants on the oracle side (RE2 has no lookahead)
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" 数据库引擎")).alias("content"),
+    )
+    corpus = d.withColumn("repo", F.lit("x")).withColumn(
+        "path", F.col("doc_id").cast("string")
+    ).withColumn("commit", F.lit("c")).withColumn("lang", F.lit("zh"))
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+
+    return sql_bm25.tf_table(normalize_corpus(corpus), CFG).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
 def _q_lexicon(spark, sf_dir):  # I-7 / A-5: term → df, cf
     return sql_bm25.lexicon_df(_corpus(spark, sf_dir), CFG).select(
         "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
@@ -787,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
+        "tf_code_identifiers": _q_tf_code_identifiers,
+        "tf_cjk_bigrams": _q_tf_cjk_bigrams,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "token_counts": _q_token_counts,
@@ -1100,6 +1139,29 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_clusters": _clusters_sql(),
         "dedup_simhash": _simhash_sql(),
+        # F-4: camelCase/snake split — the engine's lookaround boundaries
+        # are re-expressed as RE2-safe consuming group replacements
+        # (verified equivalent for adjacent-boundary cases)
+        "tf_code_identifiers": r"""
+SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+  SELECT doc_id, unnest(regexp_extract_all(lower(
+      regexp_replace(regexp_replace(
+        'parseIndexBuffer merge_segment HTTPServer2 ' || text,
+        '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+        '([A-Z])([A-Z][a-z])', '\1 \2', 'g')
+    ), '[a-z0-9]+')) AS term
+  FROM documents) GROUP BY doc_id, term
+""",
+        # F-3: the appended CJK literal is constant, so its overlapping
+        # bigrams are written as literals (RE2 has no lookahead to mirror
+        # the engine's overlapping-bigram regex)
+        "tf_cjk_bigrams": f"""
+SELECT doc_id, term, tf FROM ({_TF})
+UNION ALL
+SELECT doc_id, unnest(['数据', '据库', '库引', '引擎']) AS term,
+       CAST(1 AS BIGINT) AS tf
+FROM documents
+""",
         "dedup_embedding_cosine": _emb_pairs_sql(),
         "ann_lsh_topk": _lsh_ann_sql(),
         "token_counts": (
