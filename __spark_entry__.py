@@ -510,6 +510,38 @@ def _q_bm25_prefix(spark, sf_dir):  # P-4 as a search clause: "s*" expands
     return hits.select("doc_id", _e4())
 
 
+def _q_suggest(spark, sf_dir):  # autocomplete over the lexicon (prefix + df)
+    from fastcatsearch3_spark.plans.search import suggest_terms
+
+    store = _packed_store(spark, sf_dir)
+    return suggest_terms(spark, store, "s", k=5)
+
+
+def _q_curation_pipeline(spark, sf_dir):  # composition showcase: quality
+    # filter → near-dup canonicalization → per-lang token accounting —
+    # the shape of a real training-data curation job, all oracle-checked
+    docs = _docs(spark, sf_dir)
+    q = TS.quality_score(docs, CFG).select("doc_id", "quality_e4")
+    cl = D.near_dup_clusters(docs, CFG, n=3)
+    tc = TS.token_counts(docs).select("doc_id", "ws_tokens")
+    return (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(cl, "doc_id")
+        .join(tc, "doc_id")
+        .where(
+            (F.col("quality_e4") >= 9000)
+            & (F.col("doc_id") == F.col("cluster_id"))
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("docs_kept"),
+            F.sum("ws_tokens").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_pii_scrub(spark, sf_dir):  # training-data redaction pass (ext)
     # append deterministic synthetic PII so the scrub provably fires
     aug = _docs(spark, sf_dir).select(
@@ -855,6 +887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _q_bm25_prefix,
         "search_facet": _q_search_facet,
         "pii_scrub": _q_pii_scrub,
+        "suggest": _q_suggest,
+        "curation_pipeline": _q_curation_pipeline,
     }
 
 
@@ -908,6 +942,31 @@ cand AS (
 SELECT j.doc_a, j.doc_b, j.jaccard_e4
 FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 ORDER BY j.jaccard_e4 DESC, j.doc_a ASC, j.doc_b ASC LIMIT 50
+"""
+
+
+_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) n_chars,
+    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT)
+      n_alnum,
+    regexp_extract_all(lower(text), '[a-z0-9]+') arr
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN n_chars > 0 THEN n_alnum * 1.0 / n_chars ELSE 0.0 END ar,
+    CASE WHEN len(arr) > 0 THEN
+      len(list_filter(arr, x -> list_contains(
+        ['the', 'a', 'of', 'and', 'is', 'to', 'in'], x))) * 1.0 / len(arr)
+      ELSE 0.0 END sr,
+    len(arr) n_toks
+  FROM t)
+SELECT doc_id, n_chars,
+  CAST(round(ar * 10000) AS BIGINT) alnum_ratio_e4,
+  CAST(round(sr * 10000) AS BIGINT) stopword_ratio_e4,
+  CAST(round(ar * least(1.0, n_toks / 20.0) * 10000) AS BIGINT) quality_e4
+FROM r
 """
 
 
@@ -1173,29 +1232,7 @@ FROM documents
             " FROM documents"
         ),
         "lang_id": _lang_id_sql(),
-        "quality_score": """
-WITH t AS (
-  SELECT doc_id,
-    CAST(length(text) AS BIGINT) n_chars,
-    CAST(length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT)
-      n_alnum,
-    regexp_extract_all(lower(text), '[a-z0-9]+') arr
-  FROM documents),
-r AS (
-  SELECT doc_id, n_chars,
-    CASE WHEN n_chars > 0 THEN n_alnum * 1.0 / n_chars ELSE 0.0 END ar,
-    CASE WHEN len(arr) > 0 THEN
-      len(list_filter(arr, x -> list_contains(
-        ['the', 'a', 'of', 'and', 'is', 'to', 'in'], x))) * 1.0 / len(arr)
-      ELSE 0.0 END sr,
-    len(arr) n_toks
-  FROM t)
-SELECT doc_id, n_chars,
-  CAST(round(ar * 10000) AS BIGINT) alnum_ratio_e4,
-  CAST(round(sr * 10000) AS BIGINT) stopword_ratio_e4,
-  CAST(round(ar * least(1.0, n_toks / 20.0) * 10000) AS BIGINT) quality_e4
-FROM r
-""",
+        "quality_score": _QUALITY_SQL,
         "doc_fingerprint": f"""
 WITH sh AS ({_SH}),
 ranked AS (
@@ -1408,6 +1445,27 @@ SELECT a.doc_id, CAST(round(a.score * 10000) AS BIGINT) AS score_e4
 FROM agg a JOIN live l ON a.doc_id = l.doc_id AND a.seg = l.seg
 WHERE a.nt = 2
 ORDER BY a.score DESC, a.doc_id ASC LIMIT {_K}
+""",
+        # autocomplete: top-5 lexicon terms under prefix 's' by df
+        "suggest": f"""
+SELECT term, df FROM (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM ({_TF}) GROUP BY term)
+WHERE term LIKE 's%' ORDER BY df DESC, term ASC LIMIT 5
+""",
+        # curation pipeline: quality gate ∧ near-dup-canonical → per-lang
+        # doc/token accounting (quality + clusters + token CTEs composed)
+        "curation_pipeline": f"""
+SELECT d.lang, CAST(count(*) AS BIGINT) AS docs_kept,
+       CAST(sum(t.ws_tokens) AS BIGINT) AS tokens_kept
+FROM documents d
+JOIN ({_QUALITY_SQL}) q USING (doc_id)
+JOIN ({_clusters_sql()}) c USING (doc_id)
+JOIN (SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+          AS BIGINT) AS ws_tokens
+      FROM documents) t USING (doc_id)
+WHERE q.quality_e4 >= 9000 AND c.cluster_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang
 """,
         # PII redaction over corpus + deterministic synthetic PII; patterns
         # are shared literals (fastcatsearch3_spark.dataops.textstats

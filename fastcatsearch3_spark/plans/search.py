@@ -222,6 +222,22 @@ def _expand_prefixes(
     )
 
 
+def suggest_terms(
+    spark: SparkSession, store, prefix: str, k: int = 10
+) -> DataFrame:
+    """Autocomplete: top-k lexicon terms under ``prefix`` ranked by df
+    (the reference's suggest/ac module re-expressed as a pruned lexicon
+    scan — StartsWith pushdown on the sorted term column, so at cluster
+    scale this touches a handful of row groups)."""
+    return (
+        store.lexicon(spark)
+        .where(F.col("term").startswith(prefix))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 _MATCH_SCHEMA = "segment_id int, shard int, docno bigint, gid int, neg int"
 
 
