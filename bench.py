@@ -122,6 +122,12 @@ def main() -> None:
         D.exact_dedup(docs).count()
         timings["dedup_exact"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
+        D.jaccard_top_pairs(docs, cfg, top=50).count()
+        # the documented all-pairs correctness baseline — kept in the bench
+        # so the LSH path's advantage (which grows superlinearly with
+        # corpus size) is visible next to it
+        timings["dedup_jaccard_allpairs"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
         D.minhash_lsh_pairs(docs, cfg, top=50).count()
         timings["dedup_minhash_lsh"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
