@@ -510,6 +510,15 @@ def _q_bm25_prefix(spark, sf_dir):  # P-4 as a search clause: "s*" expands
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25_proximity(spark, sf_dir):
+    # J-5 proximity: '"table hash"~1' — ordered window, position difference
+    # in [1-slop, 1+slop]; same scoring as bm25_phrase, looser filter
+    cfg_pos = EngineConfig(store_positions=True)
+    store = _packed_store(spark, sf_dir, cfg=cfg_pos)
+    hits = search_index(spark, store, '"table hash"~1', k=_K)
+    return hits.select("doc_id", _e4())
+
+
 def _q_suggest(spark, sf_dir):  # autocomplete over the lexicon (prefix + df)
     from fastcatsearch3_spark.plans.search import suggest_terms
 
@@ -889,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "suggest": _q_suggest,
         "curation_pipeline": _q_curation_pipeline,
+        "bm25_proximity": _q_bm25_proximity,
     }
 
 
@@ -1355,6 +1365,23 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
            FROM pt)
   SELECT DISTINCT a.doc_id
   FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'table' AND b.term = 'hash')""",
+        ),
+        # proximity '"table hash"~1': ordered window — for two terms the
+        # engine's start-window semantics reduce exactly to position
+        # difference in [1-slop, 1+slop] = [0, 2]
+        "bm25_proximity": _bm25_sql(
+            ["table", "hash"], "AND", _K, order_raw=True,
+            extra_where="""doc_id IN (
+  WITH pt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') arr
+              FROM documents),
+  ptok AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)+1),
+                   i -> {'p': i, 'term': arr[CAST(i AS INT)]}),
+                   recursive := true)
+           FROM pt)
+  SELECT DISTINCT a.doc_id
+  FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id
+    AND b.p - a.p BETWEEN 0 AND 2
   WHERE a.term = 'table' AND b.term = 'hash')""",
         ),
         # per-field BM25: content term scored with content avgdl, repo-

@@ -40,10 +40,20 @@ class ParsedQuery:
     # Phrase terms are also regular AND terms; the adjacency check is an
     # additional positional filter in the kernel.
     phrases: list[list[str]] = field(default_factory=list)
+    # per-phrase proximity slop ('"a b"~2' syntax), aligned with phrases.
+    # Semantics: the phrase matches at some start s iff term j occurs at a
+    # position in [s+j, s+j+slop] for every j — an ordered window that
+    # degrades gracefully to the exact phrase at slop=0 (for two terms
+    # this is exactly "position difference in [1-slop, 1+slop]").
+    phrase_slops: list[int] = field(default_factory=list)
 
     def __post_init__(self):
         if self.op not in ("AND", "OR"):
             raise ValueError(f"unsupported op: {self.op}")
+        if self.phrases and not self.phrase_slops:
+            self.phrase_slops = [0] * len(self.phrases)
+        if len(self.phrase_slops) != len(self.phrases):
+            raise ValueError("phrase_slops must align with phrases")
         if self.msm is not None and self.msm < 1:
             raise ValueError("msm must be >= 1")
         if self.groups is not None:
@@ -74,18 +84,21 @@ def parse_query(
     cfg = cfg or EngineConfig()
     import re as _re
 
-    # phrase spans first: "exact phrase" → adjacency constraint (J-5); the
-    # span's words also join the regular term list (each its own group)
+    # phrase spans first: "exact phrase" → adjacency constraint (J-5);
+    # '"a b"~2' → proximity with slop 2. The span's words also join the
+    # regular term list (each its own group)
     phrases: list[list[str]] = []
+    phrase_slops: list[int] = []
     phrase_words: list[str] = []
-    for span in _re.findall(r'"([^"]*)"', text):
+    for span, _tilde, slop in _re.findall(r'"([^"]*)"(~(\d+))?', text):
         ptoks: list[str] = []
         for w in span.split():
             ptoks.extend(tokenize_text(w, cfg))
         if len(ptoks) >= 2:
             phrases.append(ptoks)
+            phrase_slops.append(int(slop) if slop else 0)
         phrase_words.extend(span.split())
-    text = _re.sub(r'"[^"]*"', " ", text)
+    text = _re.sub(r'"[^"]*"(~\d+)?', " ", text)
 
     raw = text.split()
     op = "AND"
@@ -192,4 +205,5 @@ def parse_query(
         groups=dedup_groups if (synonyms or has_prefix) else None,
         msm=msm,
         phrases=phrases,
+        phrase_slops=phrase_slops,
     )

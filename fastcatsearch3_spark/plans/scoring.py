@@ -125,14 +125,18 @@ def _probe(
 
 
 def phrase_mask(
-    cand: np.ndarray, phrase_tps: list[TermPostings]
+    cand: np.ndarray, phrase_tps: list[TermPostings], slop: int = 0
 ) -> np.ndarray:
     """Boolean mask over sorted candidate docnos: True where the phrase
-    (terms at CONSECUTIVE analyzed-token positions, J-5) occurs.
+    occurs — at CONSECUTIVE analyzed-token positions for slop=0 (J-5), or
+    within an ordered window for slop>0 ('"a b"~2' proximity): the phrase
+    matches at start s iff term j has a position in [s+j, s+j+slop].
 
     Vectorized across all candidates at once: each term j's occurrences
-    become int64 keys docno·2³² + (pos − j); a phrase start exists exactly
-    where all terms' key sets intersect. No per-doc Python loop."""
+    become int64 keys docno·2³² + (pos − j − δ) for δ in [0, slop]; a
+    valid start exists exactly where all terms' key sets intersect. No
+    per-doc Python loop; slop multiplies key counts by (slop+1), bounded
+    by the tiny per-shard candidate occurrence stream."""
     if not phrase_tps or cand.size == 0:
         return np.zeros(cand.size, dtype=bool)
     keys: np.ndarray | None = None
@@ -155,8 +159,25 @@ def phrase_mask(
         occ = ragged_ranges(entry_starts[entries], tf_e)
         occ_pos = flat[occ].astype(np.int64)
         occ_doc = np.repeat(docs, tf_e)
-        valid = occ_pos >= j  # a start before position j is impossible
-        kj = occ_doc[valid] * (1 << 32) + (occ_pos[valid] - j)
+        if slop:
+            # anchors down to -slop are legal (the window may hang off the
+            # doc start: term 0 at position 0 can anchor s = -slop); keys
+            # are offset by +slop so they never borrow into the docno bits
+            valid = occ_pos >= max(0, j - slop)
+            vdoc = occ_doc[valid]
+            vstart = occ_pos[valid] - j
+            deltas = np.arange(slop + 1, dtype=np.int64)
+            starts = vstart[:, None] - deltas[None, :]
+            docsm = np.broadcast_to(vdoc[:, None], starts.shape)
+            okm = starts >= -slop
+            kj = np.unique(
+                docsm[okm] * (1 << 32) + (starts[okm] + slop)
+            )
+        else:
+            valid = occ_pos >= j  # a start before position j is impossible
+            kj = np.unique(
+                occ_doc[valid] * (1 << 32) + (occ_pos[valid] - j)
+            )
         keys = kj if keys is None else np.intersect1d(
             keys, kj, assume_unique=True
         )
@@ -204,6 +225,7 @@ def score_group(
     n_groups: int | None = None,
     msm: int | None = None,
     phrase_tps: list[list[TermPostings]] | None = None,
+    phrase_slops: list[int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (segment, shard) group. Returns (docnos, scores) of the
     local top-k, score-desc / docno-asc ordered.
@@ -245,11 +267,13 @@ def score_group(
         )
     else:
         docnos, scores = _score_taat(terms, op, k1, b, avgdl)
-    # phrase adjacency filter (J-5) — before top-k, like every filter
+    # phrase adjacency/proximity filter (J-5) — before top-k, like every
+    # filter
     if phrase_tps:
+        slops = phrase_slops or [0] * len(phrase_tps)
         keep = np.ones(docnos.size, dtype=bool)
-        for ptps in phrase_tps:
-            keep &= phrase_mask(docnos, ptps)
+        for ptps, sl in zip(phrase_tps, slops):
+            keep &= phrase_mask(docnos, ptps, slop=sl)
         docnos, scores = docnos[keep], scores[keep]
     # NOT clause (J-4) + filters (P-*) + deletes (P-7)
     if not_terms or allow_docnos is not None or deny_docnos is not None:

@@ -55,6 +55,7 @@ def _make_kernel(
     n_groups: int | None = None,
     msm: int | None = None,
     phrases: list[list[str]] | None = None,
+    phrase_slops: list[int] | None = None,
     term_avgdl: dict[str, float] | None = None,
 ):
     """Build the per-(segment, shard) scoring function (U-5).
@@ -144,6 +145,7 @@ def _make_kernel(
             n_groups=n_groups,
             msm=msm,
             phrase_tps=phrase_tps,
+            phrase_slops=phrase_slops,
         )
         return pd.DataFrame(
             {
@@ -219,6 +221,7 @@ def _expand_prefixes(
         groups=new_groups,
         msm=pq.msm,
         phrases=pq.phrases,
+        phrase_slops=pq.phrase_slops,
     )
 
 
@@ -426,7 +429,13 @@ def search_index(
             return spark.createDataFrame([], "doc_id long, score double")
     qidf = {t: float(bm25_idf(n_docs, dfmap[t])) for t in terms}
 
-    phrases = [ph for ph in pq.phrases if all(t in dfmap for t in ph)]
+    kept = [
+        (ph, sl)
+        for ph, sl in zip(pq.phrases, pq.phrase_slops)
+        if all(t in dfmap for t in ph)
+    ]
+    phrases = [ph for ph, _ in kept]
+    phrase_slops = [sl for _, sl in kept]
     if pq.phrases and len(phrases) < len(pq.phrases):
         # a phrase containing an unindexed term can never match
         return spark.createDataFrame([], "doc_id long, score double")
@@ -489,6 +498,7 @@ def search_index(
         n_groups=pq.n_groups if term_groups is not None else None,
         msm=pq.msm,
         phrases=phrases or None,
+        phrase_slops=phrase_slops or None,
         term_avgdl=term_avgdl or None,
     )
     if masks:

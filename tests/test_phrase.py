@@ -152,3 +152,51 @@ def test_compact_preserves_positions(spark, store, docs_pd, tmp_path_factory):
     np.testing.assert_allclose(
         before["score"].to_numpy(), after["score"].to_numpy(), atol=1e-9
     )
+
+
+def test_proximity_slop(spark, tmp_path):
+    """'"a c"~1' matches "a b c" (gap 2) and "a c" (gap 1) but not
+    "a x y c" (gap 3); slop=0 matches only the adjacent form."""
+    import pandas as pd
+
+    from fastcatsearch3_spark.config import EngineConfig
+    from fastcatsearch3_spark.index import IndexStore
+    from fastcatsearch3_spark.operators.build import build_index
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+    from fastcatsearch3_spark.plans.query import parse_query
+    from fastcatsearch3_spark.plans.search import search_index
+
+    rows = [
+        (1, "alpha charlie end"),          # adjacent
+        (2, "alpha bravo charlie end"),    # gap 2
+        (3, "alpha x1 x2 charlie end"),    # gap 3
+        (4, "charlie alpha end"),          # reversed, gap 1
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    cfg = EngineConfig(num_shards=2, store_positions=True)
+    root = str(tmp_path / "idx")
+    build_index(spark, normalize_corpus(spark.createDataFrame(pdf)), root, cfg)
+    store = IndexStore(root)
+
+    pq = parse_query('"alpha charlie"~1', cfg)
+    assert pq.phrases == [["alpha", "charlie"]] and pq.phrase_slops == [1]
+
+    # slop=1 window [1-1, 1+1] = [0, 2]: adjacent (d=1) and gap-2 (d=2);
+    # the reversed doc has d=-1 and needs slop >= 2
+    got1 = {r["doc_id"] for r in search_index(spark, store, '"alpha charlie"~1', k=10).collect()}
+    assert got1 == {1, 2}
+
+    got0 = {r["doc_id"] for r in search_index(spark, store, '"alpha charlie"', k=10).collect()}
+    assert got0 == {1}
+
+    # slop=2 window [-1, 3]: adds the gap-3 doc AND the reversed doc
+    got2 = {r["doc_id"] for r in search_index(spark, store, '"alpha charlie"~2', k=10).collect()}
+    assert got2 == {1, 2, 3, 4}
