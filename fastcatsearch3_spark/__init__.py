@@ -14,8 +14,9 @@ Reference parity map lives in SURVEY.md §2 (operator ids S-*/P-*/J-*/A-*/
 W-*/O-*/T-*/F-*/I-*/ST-*/U-*/Q-* are cited in docstrings throughout).
 """
 
+from fastcatsearch3_spark.collection import Collection
 from fastcatsearch3_spark.config import EngineConfig
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["EngineConfig", "__version__"]
+__all__ = ["Collection", "EngineConfig", "__version__"]
