@@ -200,3 +200,45 @@ def test_proximity_slop(spark, tmp_path):
     # slop=2 window [-1, 3]: adds the gap-3 doc AND the reversed doc
     got2 = {r["doc_id"] for r in search_index(spark, store, '"alpha charlie"~2', k=10).collect()}
     assert got2 == {1, 2, 3, 4}
+
+
+def _proximity_docs(docs_pd: pd.DataFrame, phrase: list[str], slop: int) -> set[int]:
+    """Brute-force ordered-window check: doc matches iff some anchor s
+    (may hang off the doc start) has term j at a position in
+    [s+j, s+j+slop] for every j."""
+    out = set()
+    n = len(phrase)
+    for _, r in docs_pd.iterrows():
+        t = re.findall(r"[a-z0-9]+", str(r["content"]).lower())
+        for s in range(-slop, len(t)):
+            ok = True
+            for j in range(n):
+                lo, hi = max(0, s + j), min(len(t) - 1, s + j + slop)
+                if not any(t[p] == phrase[j] for p in range(lo, hi + 1)):
+                    ok = False
+                    break
+            if ok:
+                out.add(int(r["doc_id"]))
+                break
+    return out
+
+
+@pytest.mark.parametrize("qtext,phrase,slop", [
+    ('"table value"~1', ["table", "value"], 1),
+    ('"table value"~2', ["table", "value"], 2),
+    ('"key agg row"~1', ["key", "agg", "row"], 1),
+])
+def test_proximity_matches_bruteforce(spark, store, docs_pd, qtext, phrase, slop):
+    pq = parse_query(qtext, CFG)
+    assert pq.phrases == [phrase] and pq.phrase_slops == [slop]
+    got = set(
+        search_index(spark, store, pq, k=10_000).toPandas()["doc_id"]
+    )
+    want_prox = _proximity_docs(docs_pd, phrase, slop)
+    # engine result = AND(terms) ∩ proximity docs
+    and_docs = set(
+        search_index(
+            spark, store, parse_query(" ".join(phrase), CFG), k=10_000
+        ).toPandas()["doc_id"]
+    )
+    assert got == (want_prox & and_docs)
