@@ -33,7 +33,7 @@ from fastcatsearch3_spark.operators.build import build_index
 from fastcatsearch3_spark.operators.ingest import load_documents
 from fastcatsearch3_spark.plans import sql_bm25
 from fastcatsearch3_spark.plans.highlight import highlight_udf
-from fastcatsearch3_spark.plans.query import ParsedQuery, parse_query
+from fastcatsearch3_spark.plans.query import Node, ParsedQuery, parse_query
 from fastcatsearch3_spark.plans.search import match_doc_ids, search_index
 
 CFG = EngineConfig()
@@ -144,6 +144,67 @@ agg AS (SELECT doc_id, sum(partial) AS score, count(*) AS nt FROM scored GROUP B
 final AS (SELECT doc_id, score, CAST(round(score * 10000) AS BIGINT) AS score_e4
           FROM agg {gate})
 SELECT doc_id, score_e4 FROM final {order} LIMIT {k}{off}
+"""
+
+
+def _nested_sql(qtext: str, k: int) -> str:
+    """DuckDB oracle for a nested boolean query: per-term (match flag,
+    BM25 partial) pivoted per doc, then the tree's matched-subtree gate +
+    score generated as SQL expressions — structurally the same recursion
+    the kernel evaluates (plans/scoring._score_tree)."""
+    pq = parse_query(qtext, CFG)
+    tree = pq.tree
+    assert tree is not None
+    terms = list(dict.fromkeys(pq.terms + pq.not_terms))
+    tid = {t: i for i, t in enumerate(terms)}
+
+    def gen(n: Node) -> tuple[str, str]:
+        if n.kind == "term":
+            i = tid[n.term]
+            return f"(m_{i} = 1)", f"s_{i}"
+        if n.kind == "false":
+            return "FALSE", "0.0"
+        if n.kind == "not":
+            m, _ = gen(n.children[0])
+            return f"(NOT {m})", "0.0"
+        kids = [gen(c) for c in n.children]
+        ssum = " + ".join(s for _, s in kids)
+        if n.kind == "and":
+            match = "(" + " AND ".join(m for m, _ in kids) + ")"
+        else:
+            need = n.msm if n.msm is not None else 1
+            if need == 1:
+                match = "(" + " OR ".join(m for m, _ in kids) + ")"
+            else:
+                cnt = " + ".join(
+                    f"(CASE WHEN {m} THEN 1 ELSE 0 END)" for m, _ in kids
+                )
+                match = f"(({cnt}) >= {need})"
+        return match, f"(CASE WHEN {match} THEN ({ssum}) ELSE 0.0 END)"
+
+    match_expr, score_expr = gen(tree)
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS m_{i}, "
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN partial END), 0.0) AS s_{i}"
+        for t, i in tid.items()
+    )
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ({tlist})),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+piv AS (SELECT doc_id, {piv_cols} FROM scored GROUP BY doc_id),
+final AS (SELECT doc_id, {score_expr} AS score FROM piv WHERE {match_expr})
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM final ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -516,6 +577,19 @@ def _q_bm25_proximity(spark, sf_dir):
     cfg_pos = EngineConfig(store_positions=True)
     store = _packed_store(spark, sf_dir, cfg=cfg_pos)
     hits = search_index(spark, store, '"table hash"~1', k=_K)
+    return hits.select("doc_id", _e4())
+
+
+_Q_NESTED = "((spark merge) OR (vector stream)) -slow"
+
+
+def _q_bm25_nested(spark, sf_dir):
+    # nested boolean clause tree (Q-1 nesting): OR of ANDs — not
+    # expressible by the flat grammar's synonym-group machinery — plus a
+    # top-level NOT; matched-subtree scoring (an unsatisfied AND branch
+    # contributes nothing even when some of its terms are present)
+    store = _packed_store(spark, sf_dir)
+    hits = search_index(spark, store, _Q_NESTED, k=_K)
     return hits.select("doc_id", _e4())
 
 
@@ -899,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest": _q_suggest,
         "curation_pipeline": _q_curation_pipeline,
         "bm25_proximity": _q_bm25_proximity,
+        "bm25_nested": _q_bm25_nested,
     }
 
 
@@ -1384,6 +1459,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
     AND b.p - a.p BETWEEN 0 AND 2
   WHERE a.term = 'table' AND b.term = 'hash')""",
         ),
+        "bm25_nested": _nested_sql(_Q_NESTED, _K),
         # per-field BM25: content term scored with content avgdl, repo-
         # qualified term with the repo field's avgdl (= Σ repo tokens /
         # n_docs, the engine's sum(cf)/n_docs definition); AND over both

@@ -20,6 +20,82 @@ from fastcatsearch3_spark.config import EngineConfig
 from fastcatsearch3_spark.functions.analyzer import tokenize_text
 
 
+@dataclass(frozen=True)
+class Node:
+    """One clause-tree node (nested boolean, the reference's arbitrarily
+    nested core:ir.query.Clause tree [K]). Kinds:
+
+      term  — leaf; ``term`` is the analyzed (possibly field-qualified or
+              prefix-placeholder) term key
+      and   — all children must match; score = Σ child scores
+      or    — ≥ ``msm`` children must match (default 1); score = Σ scores
+              of the MATCHING children only (Lucene-style matched-subtree
+              scoring: an OR branch whose AND isn't satisfied contributes
+              nothing, even if some of its terms are present)
+      not   — matches where the child does not; contributes no score
+      false — matches nothing (e.g. a prefix that expanded to no terms)
+    """
+
+    kind: str
+    term: str | None = None
+    children: tuple["Node", ...] = ()
+    msm: int | None = None
+
+    def __post_init__(self):
+        if self.kind not in ("term", "and", "or", "not", "false"):
+            raise ValueError(f"bad node kind: {self.kind}")
+        if self.kind == "term" and not self.term:
+            raise ValueError("term node needs a term")
+        if self.kind == "not" and len(self.children) != 1:
+            raise ValueError("not node needs exactly one child")
+
+
+def tree_terms(node: Node) -> tuple[list[str], list[str]]:
+    """(positive-context terms, negative-context terms), document order,
+    deduped. A term may appear in both lists (scored where positive)."""
+    pos: list[str] = []
+    neg: list[str] = []
+
+    def walk(n: Node, negated: bool):
+        if n.kind == "term":
+            out = neg if negated else pos
+            if n.term not in out:
+                out.append(n.term)
+        elif n.kind == "not":
+            walk(n.children[0], not negated)
+        else:
+            for c in n.children:
+                walk(c, negated)
+
+    walk(node, False)
+    return pos, [t for t in neg if t not in pos]
+
+
+def assert_positive(node: Node) -> None:
+    """Reject clause trees that could match documents containing no
+    positive term (pure negation — Lucene's MatchNoDocs case): every OR
+    child must itself be positive, and every AND needs ≥1 positive child.
+    The scoring kernel's candidate domain is the union of positive-term
+    postings, so a non-positive tree would be silently wrong, not slow."""
+
+    def positive(n: Node) -> bool:
+        # "positive" = cannot match a doc containing no positive term.
+        # A false node matches nothing at all, so it is (vacuously) safe.
+        if n.kind in ("term", "false"):
+            return True
+        if n.kind == "not":
+            return False
+        if n.kind == "and":
+            return any(positive(c) for c in n.children)
+        return bool(n.children) and all(positive(c) for c in n.children)
+
+    if not positive(node):
+        raise ValueError(
+            "query must have a positive clause on every OR branch "
+            "(pure-negation subtrees match nothing)"
+        )
+
+
 @dataclass
 class ParsedQuery:
     terms: list[str]
@@ -46,6 +122,11 @@ class ParsedQuery:
     # degrades gracefully to the exact phrase at slop=0 (for two terms
     # this is exactly "position difference in [1-slop, 1+slop]").
     phrase_slops: list[int] = field(default_factory=list)
+    # nested boolean clause tree (parenthesized queries). When set, the
+    # gate/score come from matched-subtree evaluation of the tree and
+    # op/groups/msm are ignored; ``terms``/``not_terms`` hold the tree's
+    # positive/negative-context leaves (the posting fetch list).
+    tree: Node | None = None
 
     def __post_init__(self):
         if self.op not in ("AND", "OR"):
@@ -69,6 +150,156 @@ class ParsedQuery:
         if self.groups is None:
             return len(self.terms)
         return len({gid for gs in self.groups for gid in gs})
+
+
+def _analyze_word(w: str, cfg: EngineConfig) -> tuple[str, list[str]]:
+    """→ (term key prefix, analyzed tokens). "repo:spark" qualifies the
+    token to the repo field — term key "repo:spark" (multi-index
+    collections); the default content field stays bare."""
+    if ":" in w:
+        fld, rest = w.split(":", 1)
+        if fld and rest:
+            if fld not in cfg.indexed_fields:
+                raise ValueError(
+                    f"unknown search field {fld!r} (indexed: "
+                    f"{cfg.indexed_fields})"
+                )
+            pref = "" if fld == "content" else f"{fld}:"
+            return pref, tokenize_text(rest, cfg)
+    return "", tokenize_text(w, cfg)
+
+
+def _word_node(
+    w: str, cfg: EngineConfig, synonyms: dict[str, list[str]] | None
+) -> Node:
+    """One query word → a clause-tree fragment: camelCase analysis fans out
+    to AND of its tokens; a synonym entry fans a token out to OR(token,
+    syn…) — the tree form of the flat path's group expansion. Unlike the
+    flat path, duplicate leaves each score (Lucene BooleanQuery semantics;
+    the flat path's set-semantics dedup exists to match its simpler
+    oracle)."""
+    if w.endswith("*") and len(w) > 1:
+        pref, toks = _analyze_word(w[:-1], cfg)
+        if len(toks) != 1:
+            raise ValueError(
+                f"prefix term {w!r} must analyze to one token, got {toks}"
+            )
+        return Node("term", term=pref + toks[0] + "*")
+    pref, toks = _analyze_word(w, cfg)
+    if not toks:
+        raise ValueError(f"query word {w!r} analyzed to nothing")
+    leaves: list[Node] = []
+    for t in toks:
+        leaf = Node("term", term=pref + t)
+        if synonyms and not pref and t in synonyms:
+            syn_leaves = tuple(
+                Node("term", term=st)
+                for s in synonyms[t]
+                for st in tokenize_text(s, cfg)
+            )
+            if syn_leaves:
+                leaf = Node("or", children=(leaf,) + syn_leaves)
+        leaves.append(leaf)
+    return leaves[0] if len(leaves) == 1 else Node("and", children=tuple(leaves))
+
+
+def _parse_tree(
+    text: str, cfg: EngineConfig, synonyms: dict[str, list[str]] | None
+) -> Node:
+    """Recursive-descent parse of the parenthesized grammar:
+
+        expr   := and ( OR and )* [~N]
+        and    := unary+                (AND token optional/ignored)
+        unary  := (NOT | '-') unary | atom
+        atom   := '(' expr ')' | word
+
+    A trailing ``~N`` at some scope turns that scope's clause list into
+    OR-with-minimum-should-match over its immediate children."""
+    import re as _re
+
+    toks = text.replace("(", " ( ").replace(")", " ) ").split()
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def parse_expr() -> Node:
+        nonlocal pos
+        branches = [parse_and()]
+        msm: int | None = None
+        while True:
+            t = peek()
+            if t is None or t == ")":
+                break
+            if t.upper() == "OR":
+                pos += 1
+                branches.append(parse_and())
+                continue
+            m = _re.fullmatch(r"~(\d+)", t)
+            if m:
+                msm = int(m.group(1))
+                pos += 1
+                continue
+            break
+        if msm is not None and len(branches) == 1 and branches[0].kind == "and":
+            # "a b c ~2" — msm ranges over the flat word list
+            branches = list(branches[0].children)
+        if len(branches) == 1 and msm is None:
+            return branches[0]
+        return Node("or", children=tuple(branches), msm=msm)
+
+    def parse_and() -> Node:
+        nonlocal pos
+        kids: list[Node] = []
+        while True:
+            t = peek()
+            if (
+                t is None
+                or t in (")",)
+                or t.upper() == "OR"
+                or _re.fullmatch(r"~\d+", t)
+            ):
+                break
+            if t.upper() == "AND":
+                pos += 1
+                continue
+            kids.append(parse_unary())
+        if not kids:
+            raise ValueError(f"empty clause in query {text!r}")
+        return kids[0] if len(kids) == 1 else Node("and", children=tuple(kids))
+
+    def parse_unary() -> Node:
+        nonlocal pos
+        t = peek()
+        if t is None:
+            raise ValueError(f"dangling operator in query {text!r}")
+        if t.upper() == "NOT":
+            pos += 1
+            return Node("not", children=(parse_unary(),))
+        if t.startswith("-") and len(t) > 1 and t != "(" :
+            toks[pos] = t[1:]
+            return Node("not", children=(parse_unary(),))
+        return parse_atom()
+
+    def parse_atom() -> Node:
+        nonlocal pos
+        t = peek()
+        if t == "(":
+            pos += 1
+            n = parse_expr()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parens in query {text!r}")
+            pos += 1
+            return n
+        if t is None or t == ")":
+            raise ValueError(f"unexpected token in query {text!r}")
+        pos += 1
+        return _word_node(t, cfg, synonyms)
+
+    root = parse_expr()
+    if peek() is not None:
+        raise ValueError(f"unbalanced parens in query {text!r}")
+    return root
 
 
 def parse_query(
@@ -100,6 +331,29 @@ def parse_query(
         phrase_words.extend(span.split())
     text = _re.sub(r'"[^"]*"(~\d+)?', " ", text)
 
+    if "(" in text or ")" in text:
+        # nested boolean (parenthesized) query → clause tree (the
+        # reference's arbitrarily nested Clause tree; the flat grammar
+        # below stays byte-identical for unparenthesized queries)
+        root = _parse_tree(text, cfg, synonyms)
+        if phrase_words:
+            # phrase words are required scored terms on top of the
+            # positional constraint, exactly like the flat path
+            ph_leaves = tuple(
+                Node("term", term=t) for ph in phrases for t in ph
+            )
+            root = Node("and", children=(root,) + ph_leaves)
+        assert_positive(root)
+        pos_terms, neg_terms = tree_terms(root)
+        return ParsedQuery(
+            terms=pos_terms,
+            not_terms=neg_terms,
+            op="AND",
+            tree=root,
+            phrases=phrases,
+            phrase_slops=phrase_slops,
+        )
+
     raw = text.split()
     op = "AND"
     msm: int | None = None
@@ -127,20 +381,7 @@ def parse_query(
     pos_words = phrase_words + pos_words
 
     def analyze_word(w: str) -> tuple[str, list[str]]:
-        """→ (term key prefix, analyzed tokens). "repo:spark" qualifies the
-        token to the repo field — term key "repo:spark" (multi-index
-        collections); the default content field stays bare."""
-        if ":" in w:
-            fld, rest = w.split(":", 1)
-            if fld and rest:
-                if fld not in cfg.indexed_fields:
-                    raise ValueError(
-                        f"unknown search field {fld!r} (indexed: "
-                        f"{cfg.indexed_fields})"
-                    )
-                pref = "" if fld == "content" else f"{fld}:"
-                return pref, tokenize_text(rest, cfg)
-        return "", tokenize_text(w, cfg)
+        return _analyze_word(w, cfg)
 
     terms: list[str] = []
     groups: list[int] = []

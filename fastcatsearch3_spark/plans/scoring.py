@@ -191,6 +191,81 @@ def phrase_mask(
     return mask
 
 
+def _score_tree(
+    terms: list[TermPostings],
+    tree,  # fastcatsearch3_spark.plans.query.Node
+    pos_terms: set[str],
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Matched-subtree evaluation of a nested boolean clause tree
+    (core:ir.query.Clause nesting [K]) over a dense shard-local domain:
+
+      * per positive-context leaf term: presence mask + dense BM25
+        contribution array;
+      * per node, bottom-up: (match mask, score) where an OR node's score
+        sums only its MATCHING children (an unsatisfied AND branch
+        contributes nothing even if some of its terms are present — Lucene
+        BooleanQuery semantics), and NOT nodes gate without scoring.
+
+    Exhaustive like TAAT (block-max pruning needs a single monotone
+    accumulator; an arbitrary gate breaks the θ argument), so tree queries
+    trade the BMW speedup for expressiveness — same cost class as
+    msm/synonym queries. Terms are decoded in sorted-term order for
+    deterministic float summation."""
+    size = 0
+    decoded = []
+    for tp in sorted(terms, key=lambda t: t.term):
+        d, t, l = decode_postings(tp.blob, tp.meta)
+        decoded.append((tp, d.astype(np.int64), t, l))
+        size = max(size, int(d[-1]) + 1)
+    presence: dict[str, np.ndarray] = {}
+    contrib: dict[str, np.ndarray] = {}
+    for tp, d, t, l in decoded:
+        pres = np.zeros(size, dtype=bool)
+        pres[d] = True
+        presence[tp.term] = pres
+        if tp.term in pos_terms:
+            c = np.zeros(size, dtype=np.float64)
+            c[d] = tp.idf * bm25_tf_norm(t, l, k1, b, tp.adl(avgdl))
+            contrib[tp.term] = c
+    zb = np.zeros(size, dtype=bool)
+    zf = np.zeros(size, dtype=np.float64)
+
+    def ev(node) -> tuple[np.ndarray, np.ndarray]:
+        if node.kind == "term":
+            p = presence.get(node.term)
+            if p is None:
+                return zb, zf
+            return p, contrib.get(node.term, zf)
+        if node.kind == "false":
+            return zb, zf
+        if node.kind == "not":
+            m, _ = ev(node.children[0])
+            return ~m, zf
+        kids = [ev(c) for c in node.children]
+        score = np.zeros(size, dtype=np.float64)
+        for _, s in kids:
+            score += s
+        if node.kind == "and":
+            mask = np.ones(size, dtype=bool)
+            for m, _ in kids:
+                mask &= m
+        else:  # or
+            need = node.msm if node.msm is not None else 1
+            cnt = np.zeros(size, dtype=np.int32)
+            for m, _ in kids:
+                cnt += m
+            mask = cnt >= need
+        score[~mask] = 0.0
+        return mask, score
+
+    mask, score = ev(tree)
+    cand = np.nonzero(mask)[0]
+    return cand.astype(np.uint64), score[cand]
+
+
 def _topk(scores: np.ndarray, docnos: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Top-k by (score desc, docno asc); deterministic."""
     if scores.size == 0:
@@ -226,6 +301,8 @@ def score_group(
     msm: int | None = None,
     phrase_tps: list[list[TermPostings]] | None = None,
     phrase_slops: list[int] | None = None,
+    tree=None,  # plans.query.Node — nested boolean; overrides op/groups/msm
+    tree_pos_terms: set[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (segment, shard) group. Returns (docnos, scores) of the
     local top-k, score-desc / docno-asc ordered.
@@ -247,7 +324,14 @@ def score_group(
     not_terms = not_terms or []
     if not terms:
         return np.zeros(0, dtype=np.uint64), np.zeros(0)
-    if msm is not None and op == "OR":
+    if tree is not None:
+        # nested boolean: ``terms`` carries every fetched TermPostings
+        # (both contexts — NOT leaves are evaluated inside the tree);
+        # allow/deny masks and phrases still apply below
+        docnos, scores = _score_tree(
+            terms, tree, tree_pos_terms or set(), k1, b, avgdl
+        )
+    elif msm is not None and op == "OR":
         docnos, scores = _score_taat(
             terms, op, k1, b, avgdl, groups=groups, n_groups=n_groups, msm=msm
         )

@@ -57,10 +57,14 @@ def _make_kernel(
     phrases: list[list[str]] | None = None,
     phrase_slops: list[int] | None = None,
     term_avgdl: dict[str, float] | None = None,
+    tree=None,  # plans.query.Node — nested boolean clause tree
+    tree_pos_terms: set[str] | None = None,
 ):
     """Build the per-(segment, shard) scoring function (U-5).
     ``term_avgdl``: per-term avgdl overrides for field-qualified terms
-    (per-field BM25 length norm)."""
+    (per-field BM25 length norm). With ``tree``, every fetched term's
+    postings go to the kernel whole (NOT leaves are evaluated inside the
+    tree) and the flat-path gates are bypassed."""
 
     _EMPTY = pd.DataFrame(
         {
@@ -90,7 +94,7 @@ def _make_kernel(
                 avgdl=(term_avgdl or {}).get(term),
             )
             by_term[term] = tp
-            if term in not_terms:
+            if tree is None and term in not_terms:
                 neg_tps.append(tp)
             else:
                 pos_tps.append(tp)
@@ -103,7 +107,7 @@ def _make_kernel(
                 if any(t not in by_term for t in ph):
                     return _EMPTY  # a phrase term absent here → no match
                 phrase_tps.append([by_term[t] for t in ph])
-        if op == "AND":
+        if op == "AND" and tree is None:
             # required coverage in this shard: every term (or, with synonym
             # groups, every group) must have at least one posting list here
             covered = (
@@ -146,6 +150,8 @@ def _make_kernel(
             msm=msm,
             phrase_tps=phrase_tps,
             phrase_slops=phrase_slops,
+            tree=tree,
+            tree_pos_terms=tree_pos_terms,
         )
         return pd.DataFrame(
             {
@@ -181,7 +187,9 @@ def _expand_prefixes(
     ``cfg.max_prefix_expansion`` keeping highest-df terms (deterministic
     tie-break on term). Returns None when an AND-required prefix matches
     nothing (the whole query can't match)."""
-    placeholders = [t for t in pq.terms if t.endswith("*")]
+    placeholders = [
+        t for t in pq.terms + pq.not_terms if t.endswith("*")
+    ]
     if not placeholders:
         return pq
     lexdf = store.lexicon(spark)
@@ -195,6 +203,47 @@ def _expand_prefixes(
             .collect()
         )
         expansions[ph] = [r["term"] for r in rows]
+    if pq.tree is not None:
+        # tree mode: a placeholder leaf becomes OR(expansions…) — or a
+        # match-nothing node when the lexicon has no term under the prefix
+        from fastcatsearch3_spark.plans.query import (
+            Node,
+            assert_positive,
+            tree_terms,
+        )
+
+        def repl(n: Node) -> Node:
+            if n.kind == "term" and n.term.endswith("*"):
+                reps = expansions.get(n.term, [])
+                if not reps:
+                    return Node("false")
+                if len(reps) == 1:
+                    return Node("term", term=reps[0])
+                return Node(
+                    "or", children=tuple(Node("term", term=r) for r in reps)
+                )
+            if n.children:
+                return Node(
+                    n.kind,
+                    term=n.term,
+                    children=tuple(repl(c) for c in n.children),
+                    msm=n.msm,
+                )
+            return n
+
+        root = repl(pq.tree)
+        assert_positive(root)
+        pos_terms, neg_terms = tree_terms(root)
+        if not pos_terms:
+            return None
+        return ParsedQuery(
+            terms=pos_terms,
+            not_terms=neg_terms,
+            op="AND",
+            tree=root,
+            phrases=pq.phrases,
+            phrase_slops=pq.phrase_slops,
+        )
     groups = pq.groups or [(i,) for i in range(len(pq.terms))]
     new_terms: list[str] = []
     new_groups: list[tuple[int, ...]] = []
@@ -310,35 +359,91 @@ def match_doc_ids(
         return empty
     if pq.phrases:
         raise ValueError("use search_index for phrase queries")
-    groups = pq.groups or [(i,) for i in range(len(pq.terms))]
-    term_gids = dict(zip(pq.terms, groups))
-    if pq.op == "AND":
-        required = pq.n_groups
+    if pq.tree is not None:
+        # nested boolean: decode each leaf term's postings to (docno,
+        # leaf-id) rows, pivot to per-doc leaf flags (one aggregate), and
+        # evaluate the tree as a Catalyst boolean Column over the flags —
+        # the whole gate stays declarative/distributed, NOT nodes
+        # included (no left_anti chain needed)
+        term_gids: dict[str, tuple[int, ...]] = {}
+        next_id = [0]
+
+        def build(n):
+            if n.kind == "term":
+                i = next_id[0]
+                next_id[0] += 1
+                term_gids[n.term] = term_gids.get(n.term, ()) + (i,)
+                return F.col(f"g{i}") == 1
+            if n.kind == "false":
+                return F.lit(False)
+            if n.kind == "not":
+                return ~build(n.children[0])
+            exprs = [build(c) for c in n.children]
+            if n.kind == "and":
+                out = exprs[0]
+                for e in exprs[1:]:
+                    out = out & e
+                return out
+            need = n.msm if n.msm is not None else 1
+            if need == 1:
+                out = exprs[0]
+                for e in exprs[1:]:
+                    out = out | e
+                return out
+            cnt = F.when(exprs[0], 1).otherwise(0)
+            for e in exprs[1:]:
+                cnt = cnt + F.when(e, 1).otherwise(0)
+            return cnt >= need
+
+        gate = build(pq.tree)
+        n_leaves = next_id[0]
+        rows = (
+            store.postings(spark)
+            .where(F.col("term").isin(list(term_gids)))
+            .select("segment_id", "shard", "term", "postings")
+            .mapInPandas(
+                _make_match_kernel(term_gids, set()), _MATCH_SCHEMA
+            )
+        )
+        flags = rows.groupBy("segment_id", "shard", "docno").agg(
+            *[
+                F.max(F.when(F.col("gid") == i, 1).otherwise(0)).alias(
+                    f"g{i}"
+                )
+                for i in range(n_leaves)
+            ]
+        )
+        matched = flags.where(gate).select("segment_id", "shard", "docno")
     else:
-        required = pq.msm if pq.msm is not None else 1
-    fetch = list(dict.fromkeys(pq.terms + pq.not_terms))
-    rows = (
-        store.postings(spark)
-        .where(F.col("term").isin(fetch))
-        .select("segment_id", "shard", "term", "postings")
-        .mapInPandas(
-            _make_match_kernel(term_gids, set(pq.not_terms)), _MATCH_SCHEMA
+        groups = pq.groups or [(i,) for i in range(len(pq.terms))]
+        term_gids = dict(zip(pq.terms, groups))
+        if pq.op == "AND":
+            required = pq.n_groups
+        else:
+            required = pq.msm if pq.msm is not None else 1
+        fetch = list(dict.fromkeys(pq.terms + pq.not_terms))
+        rows = (
+            store.postings(spark)
+            .where(F.col("term").isin(fetch))
+            .select("segment_id", "shard", "term", "postings")
+            .mapInPandas(
+                _make_match_kernel(term_gids, set(pq.not_terms)), _MATCH_SCHEMA
+            )
         )
-    )
-    pos = rows.where(F.col("neg") == 0)
-    matched = (
-        pos.groupBy("segment_id", "shard", "docno")
-        .agg(F.countDistinct("gid").alias("ng"))
-        .where(F.col("ng") >= required)
-        .select("segment_id", "shard", "docno")
-    )
-    if pq.not_terms:
-        negd = rows.where(F.col("neg") == 1).select(
-            "segment_id", "shard", "docno"
+        pos = rows.where(F.col("neg") == 0)
+        matched = (
+            pos.groupBy("segment_id", "shard", "docno")
+            .agg(F.countDistinct("gid").alias("ng"))
+            .where(F.col("ng") >= required)
+            .select("segment_id", "shard", "docno")
         )
-        matched = matched.join(
-            negd, ["segment_id", "shard", "docno"], "left_anti"
-        )
+        if pq.not_terms:
+            negd = rows.where(F.col("neg") == 1).select(
+                "segment_id", "shard", "docno"
+            )
+            matched = matched.join(
+                negd, ["segment_id", "shard", "docno"], "left_anti"
+            )
     if apply_deletes:
         denied = store.denied_mask(spark)
         if denied is not None:
@@ -396,7 +501,7 @@ def search_index(
         .collect()
     )
     dfmap = {r["term"]: r["df"] for r in lex}
-    if pq.op == "AND":
+    if pq.op == "AND" and pq.tree is None:
         if pq.groups is None:
             if any(t not in dfmap for t in pq.terms):
                 return spark.createDataFrame([], "doc_id long, score double")
@@ -418,7 +523,7 @@ def search_index(
     not_terms = [t for t in pq.not_terms if t in dfmap]
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
-    if pq.msm is not None and pq.op == "OR":
+    if pq.msm is not None and pq.op == "OR" and pq.tree is None:
         # enough distinct terms/groups must exist at all to reach msm
         n_present = (
             len({gid for gs in term_groups.values() for gid in gs})
@@ -500,6 +605,8 @@ def search_index(
         phrases=phrases or None,
         phrase_slops=phrase_slops or None,
         term_avgdl=term_avgdl or None,
+        tree=pq.tree,
+        tree_pos_terms=set(terms) if pq.tree is not None else None,
     )
     if masks:
         mask_df = masks[0]
