@@ -5,11 +5,19 @@ per-doc analysis → SegmentWriter memory-posting flush/merge →
 SegmentInfo registration [K]):
 
     pass 0: doc_id-only scan ──count per (partition, shard)──▶ docno offsets
+
+  Order-stable sources (file scans + narrow deterministic ops — the 100 TB
+  case) build CHECKPOINT-FREE: each pass re-derives identical docnos
+  locally from the pass-0 offsets and content is never written anywhere:
+      pass A: corpus ──mapInPandas(docno assign + analyze dl)──▶ docmap
+      pass B: corpus ──mapInPandas(docno assign + tokenize+tf-combine)──▶
+              ──repartition(shard, term) mapInPandas pack──▶ postings
+  Shuffled/nondeterministic sources fall back to the staged checkpoint
+  (reduce-side fetch order is not stable across jobs):
     stage:  corpus ──mapInPandas(analyze dl + local docno assign)──▶
             staged sharded corpus (NO shuffle, checkpointed)
       pass A: staged ──projection──▶ docmap parquet
-      pass B: staged ──mapInPandas tokenize+tf-combine──▶
-              ──repartition(shard, term) mapInPandas pack──▶ postings parquet
+      pass B: staged ──mapInPandas tokenize+tf-combine──▶ … pack ──▶ postings
 
 Shuffle accounting (the 100 TB design constraint):
   * content NEVER shuffles: dense per-shard docnos are assigned locally
@@ -124,7 +132,42 @@ def docno_offsets(corpus: DataFrame, num_shards: int) -> dict:
     return offsets
 
 
-def make_stage_stream(cfg: EngineConfig, offsets: dict, extra_fields: list[str]):
+def _docno_assigner(offsets: dict):
+    """Stateful per-partition docno assigner: batch → int64 docnos.
+
+    docno = offsets[(pid, shard)] + running count within the partition —
+    dense per shard across the segment, a pure function of (partition,
+    arrival order). Any two jobs that scan the same order-stable source
+    assign IDENTICAL docnos, which is what lets the staged checkpoint be
+    elided (docmap and postings passes re-derive docnos independently)."""
+    counters: dict[int, int] = {}
+    state = {"pid": None}
+
+    def assign(pdf: pd.DataFrame) -> np.ndarray:
+        if state["pid"] is None:
+            state["pid"] = int(pdf["pid"].iloc[0])
+        pid = state["pid"]
+        sh = pdf["shard"].to_numpy()
+        docno = np.empty(len(pdf), dtype=np.int64)
+        for s, idx in pd.Series(np.arange(len(pdf))).groupby(sh):
+            s = int(s)
+            pos = idx.to_numpy()
+            base = counters.get(s)
+            if base is None:
+                base = offsets[(pid, s)]
+            docno[pos] = base + np.arange(pos.size)
+            counters[s] = base + pos.size
+        return docno
+
+    return assign
+
+
+def make_stage_stream(
+    cfg: EngineConfig,
+    offsets: dict,
+    extra_fields: list[str],
+    emit_content: bool = True,
+):
     """mapInPandas kernel for the stage pass: per-partition batches of
     (pid, shard, doc_id, pk_hash, content_sha256, content, extras) →
     + (docno, dl) in ONE Arrow pass.
@@ -172,33 +215,48 @@ def make_stage_stream(cfg: EngineConfig, offsets: dict, extra_fields: list[str])
             return fn(content, cfg).str.len().to_numpy(dtype=np.int64)
 
     out_cols = (
-        ["shard", "docno", "doc_id", "pk_hash", "dl", "content_sha256",
-         "content"] + extra_fields
+        ["shard", "docno", "doc_id", "pk_hash", "dl", "content_sha256"]
+        + (["content"] if emit_content else [])
+        + extra_fields
     )
 
     def stage_batches(batches):
-        counters: dict[int, int] = {}
-        pid = None
+        assign = _docno_assigner(offsets)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if pid is None:
-                pid = int(pdf["pid"].iloc[0])
             dl = dl_of(pdf["content"])
-            sh = pdf["shard"].to_numpy()
-            docno = np.empty(len(pdf), dtype=np.int64)
-            for s, idx in pd.Series(np.arange(len(pdf))).groupby(sh):
-                s = int(s)
-                pos = idx.to_numpy()
-                base = counters.get(s)
-                if base is None:
-                    base = offsets[(pid, s)]
-                docno[pos] = base + np.arange(pos.size)
-                counters[s] = base + pos.size
+            docno = assign(pdf)
             out = pdf.drop(columns=["pid"]).assign(docno=docno, dl=dl)
             yield out[out_cols]
 
     return stage_batches
+
+
+def make_stage_tokenize_stream(
+    cfg: EngineConfig, offsets: dict, term_prefix: str = ""
+):
+    """Fused postings-pass kernel for the checkpoint-free build: docno
+    assignment (from pass-0 offsets) AND tokenize + occurrence→tf combine
+    in ONE Arrow pass over (pid, shard, content) batches — the content
+    column crosses into Python exactly once and is never written anywhere.
+    """
+    inner = make_tokenize_combine_stream(cfg, term_prefix)
+
+    def gen(batches):
+        assign = _docno_assigner(offsets)
+
+        def staged():
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                yield pdf.assign(docno=assign(pdf))[
+                    ["shard", "docno", "content"]
+                ]
+
+        yield from inner(staged())
+
+    return gen
 
 
 TOKCOMBINE_SCHEMA = "shard int, docno bigint, dl bigint, term string, tf bigint"
@@ -415,6 +473,25 @@ def make_pack_stream(block_size: int, combine: bool = True):
 # Segment build (I-1..I-4)
 # ---------------------------------------------------------------------------
 
+def _order_stable_plan(df: DataFrame) -> bool:
+    """True when re-evaluating ``df`` in separate jobs is guaranteed to
+    produce the same rows in the same order per partition — the condition
+    for eliding the staged checkpoint (docmap and postings passes then
+    re-derive identical docnos independently).
+
+    Holds for file-source scans plus narrow deterministic operators: split
+    planning is a pure function of (files, reader confs) and parquet rows
+    stream in row-group order. Broken by any Exchange (shuffle reduce-side
+    fetch order is nondeterministic across jobs) or nondeterministic
+    expression; those fall back to the staged-checkpoint path."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return False
+    bad = ("Exchange", "Sample", "rand(", "randn(", "uuid(", "shuffle(")
+    return not any(b in plan for b in bad)
+
+
 def build_segment(
     spark: SparkSession,
     corpus: DataFrame,
@@ -455,31 +532,33 @@ def build_segment(
     # build regardless of corpus size, ~100 s of pure overhead at
     # local[2].
     target = spark.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < target:
+    need_guard = corpus.rdd.getNumPartitions() < target
+    if need_guard:
         # hash repartition (NOT round-robin): partition membership must be
         # a pure function of doc_id so the offsets pass and the stage pass
         # below see identical (pid → rows) layouts across their two jobs
         corpus = corpus.repartition(target, F.col("doc_id"))
+    # Staged-checkpoint elision: when the corpus plan is order-stable
+    # across jobs (file scan + narrow deterministic ops — the 100 TB
+    # case), the docmap and postings passes each re-derive (shard, docno)
+    # locally from the pass-0 offsets and the full-content checkpoint is
+    # never written OR read back: content flows scan → kernel → final
+    # write in both passes, reading the source twice (already true) but
+    # writing it zero times. A guard-repartitioned or otherwise shuffled
+    # corpus keeps the checkpoint (reduce-side fetch order is not stable
+    # across jobs, so docnos assigned twice could disagree).
+    use_staged = need_guard or not _order_stable_plan(corpus)
 
-    # Stage pass — ZERO content shuffle. Dense per-shard docnos used to
-    # come from a row_number window (= exchange by shard + sort of the
-    # full content); instead pass 0 counts rows per (partition, shard)
-    # over a doc_id-only scan and every partition assigns its docno range
-    # locally inside the same Arrow pass that runs the analyzer for dl.
-    # At 100 TB this removes the only full-corpus shuffle of the build —
-    # content now flows scan → kernel → staged write, narrow end to end.
-    # (Docnos within a shard follow partition order, not global doc_id
-    # order; postings still delta-gap over dense ids and the docmap is
-    # written sorted by (shard, docno) per file, which is what pruning
-    # and compression actually need.)
+    # Dense per-shard docnos — ZERO content shuffle either way: pass 0
+    # counts rows per (partition, shard) over a doc_id-only scan and every
+    # partition assigns its docno range locally inside the same Arrow pass
+    # that runs the analyzer. (Docnos within a shard follow partition
+    # order, not global doc_id order; postings still delta-gap over dense
+    # ids and the docmap is written sorted by (shard, docno) per file,
+    # which is what pruning and compression actually need.)
     extra_fields = [f for f in cfg.indexed_fields if f != "content"]
     offsets = docno_offsets(corpus, cfg.num_shards)
-    stage_schema = (
-        "shard int, docno bigint, doc_id bigint, pk_hash bigint, dl bigint,"
-        " content_sha256 string, content string"
-        + "".join(f", {f} string" for f in extra_fields)
-    )
-    seg_base = (
+    base = (
         corpus.withColumn("pid", F.spark_partition_id())
         .withColumn(
             "shard",
@@ -489,19 +568,15 @@ def build_segment(
         # later segment carrying the same pk supersedes this row
         # (DeleteIdSet semantics, core:ir.index.DeleteIdSet [K])
         .withColumn("pk_hash", F.xxhash64("repo", "path"))
-        .select(
-            "pid", "shard", "doc_id", "pk_hash", "content_sha256",
-            "content", *extra_fields,
-        )
-        .mapInPandas(
-            make_stage_stream(cfg, offsets, extra_fields), stage_schema
-        )
     )
-    if verify_integrity:
-        # fused per-row content_sha256 gate (BASELINE.json input_hint):
-        # assert_true returns NULL (isNull() keeps every row) and aborts
-        # the stage write on the first violating row
-        seg_base = seg_base.where(
+
+    def gated(df: DataFrame) -> DataFrame:
+        """Fused per-row content_sha256 gate (BASELINE.json input_hint):
+        assert_true returns NULL (isNull() keeps every row) and aborts the
+        first content-bearing write on the first violating row."""
+        if not verify_integrity:
+            return df
+        return df.where(
             F.assert_true(
                 F.sha2(F.col("content"), 256) == F.col("content_sha256"),
                 F.concat(
@@ -510,27 +585,72 @@ def build_segment(
                 ),
             ).isNull()
         )
+
+    def surface_gate(write):
+        try:
+            write()
+        except Exception as e:  # surface the fused integrity gate
+            if "content_sha256 invariant violated" in str(e):
+                raise ValueError(
+                    f"segment {segment_id}: content_sha256 invariant "
+                    f"violated ({e})"
+                ) from None
+            raise
+
+    staged = None
     staged_path = str(root / ".staged" / f"segment_id={segment_id}")
-    try:
-        (
-            seg_base.sortWithinPartitions("shard", "docno")
-            .write.mode("overwrite")
-            .parquet(staged_path)
+    if use_staged:
+        stage_schema = (
+            "shard int, docno bigint, doc_id bigint, pk_hash bigint, dl bigint,"
+            " content_sha256 string, content string"
+            + "".join(f", {f} string" for f in extra_fields)
         )
-    except Exception as e:  # surface the fused integrity gate as ValueError
-        if "content_sha256 invariant violated" in str(e):
-            raise ValueError(
-                f"segment {segment_id}: content_sha256 invariant violated "
-                f"({e})"
-            ) from None
-        raise
-    staged = spark.read.parquet(staged_path)
+        seg_base = (
+            gated(base)
+            .select(
+                "pid", "shard", "doc_id", "pk_hash", "content_sha256",
+                "content", *extra_fields,
+            )
+            .mapInPandas(
+                make_stage_stream(cfg, offsets, extra_fields), stage_schema
+            )
+        )
+        surface_gate(
+            lambda: (
+                seg_base.sortWithinPartitions("shard", "docno")
+                .write.mode("overwrite")
+                .parquet(staged_path)
+            )
+        )
+        staged = spark.read.parquet(staged_path)
+        docmap_src = staged.select(
+            "shard", "docno", "doc_id", "pk_hash", "dl", "content_sha256"
+        )
+    else:
+        # checkpoint-free Pass A input: the stage kernel emits doc-level
+        # rows only (content crosses INTO the kernel for dl, never out)
+        docmap_schema = (
+            "shard int, docno bigint, doc_id bigint, pk_hash bigint,"
+            " dl bigint, content_sha256 string"
+        )
+        docmap_src = (
+            gated(base)
+            .select(
+                "pid", "shard", "doc_id", "pk_hash", "content_sha256",
+                "content",
+            )
+            .mapInPandas(
+                make_stage_stream(cfg, offsets, [], emit_content=False),
+                docmap_schema,
+            )
+            .sortWithinPartitions("shard", "docno")
+        )
     t_stage = time.monotonic()
 
-    # Pass A — docmap: doc-level rows only; pure projection of the staged
-    # checkpoint (dl was computed during the stage pass) — the scan prunes
-    # the content column entirely and runs no Python.
-    docmap = staged.select(
+    # Pass A — docmap: doc-level rows only (dl computed in the stage
+    # kernel); the staged branch is a pure content-pruned projection, the
+    # checkpoint-free branch runs the kernel here.
+    docmap = docmap_src.select(
         F.lit(segment_id).cast("int").alias("segment_id"),
         "shard",
         "docno",
@@ -549,18 +669,20 @@ def build_segment(
 
     obs = Observation(f"seg{segment_id}_stats")
     docmap_path = str(root / "docmap" / f"segment_id={segment_id}")
-    (
-        docmap.drop("segment_id")
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_tokens"),
-            F.expr(
-                "bit_xor(cast(conv(substr(content_sha256, 1, 15), 16, 10) as bigint))"
-            ).alias("sha_xor"),
+    surface_gate(
+        lambda: (
+            docmap.drop("segment_id")
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("total_tokens"),
+                F.expr(
+                    "bit_xor(cast(conv(substr(content_sha256, 1, 15), 16, 10) as bigint))"
+                ).alias("sha_xor"),
+            )
+            .write.mode("overwrite")
+            .parquet(docmap_path)
         )
-        .write.mode("overwrite")
-        .parquet(docmap_path)
     )
     stats_row = obs.get
     n_docs = stats_row["n_docs"]
@@ -569,7 +691,9 @@ def build_segment(
     # Pass B — postings: tokenize + occurrence→tf combine in ONE Python
     # kernel (map-side combine), so the pack shuffle carries one compact
     # row per distinct (doc, term) and the JVM never explodes or
-    # Arrow-serializes the raw occurrence stream.
+    # Arrow-serializes the raw occurrence stream. Checkpoint-free branch:
+    # docno assignment is fused into the same kernel (identical arrival
+    # order ⇒ identical docnos as Pass A).
     tok_schema = (
         TOKCOMBINE_SCHEMA_POS if cfg.store_positions else TOKCOMBINE_SCHEMA
     )
@@ -577,21 +701,38 @@ def build_segment(
     posting_cols = ["segment_id", "shard", "term", "df", "cf", "postings"] + (
         ["positions"] if cfg.store_positions else []
     )
-    tf_rows = staged.select("shard", "docno", "content").mapInPandas(
-        make_tokenize_combine_stream(cfg), tok_schema
-    )
+
+    def field_rows(field: str | None) -> DataFrame:
+        prefix = "" if field is None else f"{field}:"
+        if use_staged:
+            src = staged.select(
+                "shard", "docno",
+                (F.col("content") if field is None else F.col(field)).alias(
+                    "content"
+                ),
+            )
+            return src.mapInPandas(
+                make_tokenize_combine_stream(cfg, term_prefix=prefix),
+                tok_schema,
+            )
+        src = base.select(
+            "pid", "shard",
+            (F.col("content") if field is None else F.col(field)).alias(
+                "content"
+            ),
+        )
+        return src.mapInPandas(
+            make_stage_tokenize_stream(cfg, offsets, term_prefix=prefix),
+            tok_schema,
+        )
+
     # extra indexed fields (the reference's multiple IndexSettings per
     # collection): one tokenize pass per field over its (tiny) column,
     # terms stored as "field:term", per-field dl embedded per entry →
     # per-field BM25 length norm falls out of the same blob format
+    tf_rows = field_rows(None)
     for field in extra_fields:
-        frows = staged.select(
-            "shard", "docno", F.col(field).alias("content")
-        ).mapInPandas(
-            make_tokenize_combine_stream(cfg, term_prefix=f"{field}:"),
-            tok_schema,
-        )
-        tf_rows = tf_rows.unionByName(frows)
+        tf_rows = tf_rows.unionByName(field_rows(field))
 
     packed = (
         # partition count = spark.sql.shuffle.partitions (the standard
@@ -615,11 +756,12 @@ def build_segment(
         .parquet(postings_path)
     )
 
-    # drop the staged corpus checkpoint (transient; manifest-based resume
-    # restarts the whole segment, which is the unit of retry)
-    import shutil
+    if use_staged:
+        # drop the staged corpus checkpoint (transient; manifest-based
+        # resume restarts the whole segment, which is the unit of retry)
+        import shutil
 
-    shutil.rmtree(Path(staged_path), ignore_errors=True)
+        shutil.rmtree(Path(staged_path), ignore_errors=True)
 
     elapsed = time.monotonic() - t0
     manifest = {
@@ -640,6 +782,9 @@ def build_segment(
                 "docmap_sec": round(t_docmap - t_stage, 3),
                 "postings_sec": round(elapsed - (t_docmap - t0), 3),
             },
+            # False = checkpoint-free build (order-stable source; docnos
+            # re-derived per pass from pass-0 offsets)
+            "staged_checkpoint": use_staged,
         },
     }
     write_manifest(index_root, segment_id, manifest)

@@ -143,3 +143,52 @@ def test_multi_segment_search_matches_single(spark, corpus, docs_pd, tmp_path):
     pd.testing.assert_series_equal(
         got["score"], want["score"], atol=1e-6, check_exact=False
     )
+
+
+def test_checkpoint_elision_matches_staged(spark, corpus, tmp_path, monkeypatch):
+    """An order-stable (multi-file scan) corpus builds checkpoint-free and
+    produces byte-identical docmap + postings (positions included) to the
+    forced staged-checkpoint path — the cross-job docno-determinism claim,
+    checked exactly."""
+    src = str(tmp_path / "multi")
+    corpus.repartition(16, "doc_id").write.parquet(src)
+    multi = spark.read.parquet(src)
+    if multi.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        pytest.skip("corpus too small to dodge the repartition guard")
+    assert B._order_stable_plan(multi)
+    cfg = EngineConfig(num_shards=4, block_size=64, store_positions=True)
+
+    root_e = str(tmp_path / "idx_elided")
+    B.build_index(spark, multi, root_e, cfg)
+    m_e = json.loads(open(f"{root_e}/manifest/segment-0.json").read())
+    assert m_e["metrics"]["staged_checkpoint"] is False
+
+    monkeypatch.setattr(B, "_order_stable_plan", lambda df: False)
+    root_s = str(tmp_path / "idx_staged")
+    B.build_index(spark, multi, root_s, cfg)
+    m_s = json.loads(open(f"{root_s}/manifest/segment-0.json").read())
+    assert m_s["metrics"]["staged_checkpoint"] is True
+
+    dm_e = spark.read.parquet(f"{root_e}/docmap")
+    dm_s = spark.read.parquet(f"{root_s}/docmap")
+    assert dm_e.exceptAll(dm_s).count() == 0
+    assert dm_s.exceptAll(dm_e).count() == 0
+    blobs = lambda p: spark.read.parquet(p).select(
+        "shard", "term", "df", "cf",
+        F.sha2(F.base64("postings"), 256).alias("h"),
+        F.sha2(F.base64("positions"), 256).alias("hp"),
+    )
+    po_e, po_s = blobs(f"{root_e}/postings"), blobs(f"{root_s}/postings")
+    assert po_e.exceptAll(po_s).count() == 0
+    assert po_s.exceptAll(po_e).count() == 0
+
+
+def test_shuffled_corpus_falls_back_to_staged(spark, corpus, tmp_path):
+    """A corpus whose plan contains an Exchange must keep the staged
+    checkpoint (docno assignment would not be reproducible across jobs)."""
+    shuffled = corpus.repartition(8, "doc_id")
+    assert not B._order_stable_plan(shuffled)
+    root = str(tmp_path / "idx_shuf")
+    B.build_index(spark, shuffled, root, CFG)
+    m = json.loads(open(f"{root}/manifest/segment-0.json").read())
+    assert m["metrics"]["staged_checkpoint"] is True
