@@ -96,13 +96,15 @@ _DL = f"SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM ({_TOK}) GROUP BY doc
 def _bm25_sql(terms: list[str], op: str, k: int, not_terms: list[str] | None = None,
               order_raw: bool = False, msm: int | None = None,
               extra_where: str | None = None, offset: int = 0,
-              src: str = "documents", prelude: str = "") -> str:
+              src: str = "documents", prelude: str = "",
+              boosts: dict[str, float] | None = None) -> str:
     """DuckDB BM25 oracle (same formula/constants as EngineConfig).
     ``msm``: minimum-should-match gate (nt >= msm) instead of the AND gate;
     ``extra_where``: doc-level predicate appended to the gate (mirrors the
     engine's allow/deny docno masks); ``offset``: paging; ``src``/``prelude``:
     score over a derived corpus relation (extra leading CTEs, e.g. the
-    incremental-upsert live corpus) instead of the raw documents view."""
+    incremental-upsert live corpus) instead of the raw documents view;
+    ``boosts``: per-term idf multipliers (the caret-boost mirror)."""
     tok = _TOK.replace("FROM documents", f"FROM {src}")
     tf_sql = _TF.replace(_TOK, tok)
     dl_sql = _DL.replace(_TOK, tok)
@@ -128,6 +130,13 @@ def _bm25_sql(terms: list[str], op: str, k: int, not_terms: list[str] | None = N
         else "ORDER BY score_e4 DESC, doc_id ASC"
     )
     off = f" OFFSET {offset}" if offset else ""
+    if boosts:
+        cases = " ".join(
+            f"WHEN q.term = '{t}' THEN {w!r}" for t, w in sorted(boosts.items())
+        )
+        boost_expr = f"(CASE {cases} ELSE 1.0 END)"
+    else:
+        boost_expr = "1.0"
     return f"""
 WITH {prelude}tf AS ({tf_sql}),
 dl AS ({dl_sql}),
@@ -136,7 +145,7 @@ qtf AS (SELECT * FROM tf WHERE term IN ({tlist})),
 dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
 scored AS (
   SELECT q.doc_id,
-         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+         {boost_expr} * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
            / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
   FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
 ),
@@ -913,6 +922,79 @@ def _q_source_jdbc(spark, sf_dir):  # S-1: JDBC (DBReader) source connector
     return _source_sha(df)
 
 
+def _q_bm25_boost(spark, sf_dir):  # J-6 caret boost: per-term idf multiplier
+    store = _packed_store(spark, sf_dir)
+    pq = parse_query("spark merge^3", CFG)
+    hits = search_index(spark, store, pq, k=_K)
+    return hits.select("doc_id", _e4())
+
+
+def _q_spell_suggest(spark, sf_dir):  # did-you-mean over the lexicon
+    from fastcatsearch3_spark.plans.search import spell_suggest
+
+    store = _packed_store(spark, sf_dir)
+    return spell_suggest(spark, store, "qery", max_dist=2, k=_K)
+
+
+def _q_search_sort(spark, sf_dir):  # O-1 with a FIELD key: match set
+    # ordered by a stored field instead of BM25 (reference sort param)
+    from fastcatsearch3_spark.plans.search import search_sorted
+
+    store = _packed_store(spark, sf_dir)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return search_sorted(
+        spark,
+        store,
+        " ".join(_Q_AND2),
+        d,
+        [F.desc("n_chars"), F.asc("doc_id")],
+        k=_K,
+    )
+
+
+def _q_search_facet_range(spark, sf_dir):  # range/histogram facet (A-1
+    # variant) computed over the search-result match set
+    from fastcatsearch3_spark.plans.search import range_facet
+
+    store = _packed_store(spark, sf_dir)
+    ids = match_doc_ids(spark, store, " ".join(_Q_AND2))
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars").join(ids, "doc_id")
+    return range_facet(d, "n_chars", width=100)
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):  # banded hyperplane LSH — the
+    # scale path for the all-pairs embedding-cosine baseline
+    return SIM.embedding_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        bands=4,
+        planes=8,
+        limit=50,
+    )
+
+
+def _q_ann_ivf_topk(spark, sf_dir):  # IVF inverted-list ANN (nprobe scan)
+    return SIM.ivf_ann_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        probe_id=0,
+        k=_K,
+        n_centroids=8,
+        nprobe=2,
+    )
+
+
+def _q_more_like_this(spark, sf_dir):  # Lucene-style MLT: seed doc's top
+    # tf·idf terms → OR search, seed excluded
+    from fastcatsearch3_spark.plans.search import more_like_this
+
+    store = _packed_store(spark, sf_dir)
+    hits = more_like_this(
+        spark, store, doc_id=7, corpus_df=_corpus(spark, sf_dir), m=5, k=_K
+    )
+    return hits.select("doc_id", _e4())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -974,6 +1056,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "bm25_proximity": _q_bm25_proximity,
         "bm25_nested": _q_bm25_nested,
+        "bm25_boost": _q_bm25_boost,
+        "spell_suggest": _q_spell_suggest,
+        "search_sort": _q_search_sort,
+        "search_facet_range": _q_search_facet_range,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "more_like_this": _q_more_like_this,
     }
 
 
@@ -1184,6 +1273,117 @@ sims AS (
 SELECT vec_id, CAST(round(sim * 10000) AS BIGINT) sim_e4
 FROM sims ORDER BY sim_e4 DESC, vec_id ASC LIMIT {_K}
 """
+
+
+def _emb_lsh_pairs_sql(bands: int = 4, planes: int = 8) -> str:
+    """Banded-LSH near-dup pairs oracle: per-band sign-bit buckets with
+    the engine's salted hyperplanes inlined as literals, candidates from
+    same-(band, bucket) collisions, exact cosine on candidates only."""
+    parts = []
+    for b in range(bands):
+        hp = SIM.hyperplanes(planes, salt=f"b{b}:")
+        bucket_terms = []
+        for i, row in enumerate(hp):
+            lit = "[" + ", ".join(f"{v!r}" for v in row) + "]"
+            bucket_terms.append(
+                f"(CASE WHEN list_sum(list_transform(range(1, 65),"
+                f" j -> vec[CAST(j AS INT)] * ({lit})[CAST(j AS INT)])) > 0"
+                f" THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+            )
+        bucket = " + ".join(bucket_terms)
+        parts.append(f"SELECT vec_id, {b} AS band, {bucket} AS band_key FROM v")
+    bands_sql = " UNION ALL ".join(parts)
+    return f"""
+WITH v AS ({_EMB_DVEC}),
+bands AS ({bands_sql}),
+cand AS (SELECT DISTINCT a.vec_id vec_a, b.vec_id vec_b
+         FROM bands a JOIN bands b USING (band, band_key)
+         WHERE a.vec_id < b.vec_id),
+sims AS (
+  SELECT c.vec_a, c.vec_b,
+    list_sum(list_transform(range(1, 65),
+      i -> x.vec[CAST(i AS INT)] * y.vec[CAST(i AS INT)]))
+    / (sqrt(list_sum(list_transform(x.vec, t -> t * t)))
+       * sqrt(list_sum(list_transform(y.vec, t -> t * t)))) sim
+  FROM cand c JOIN v x ON x.vec_id = c.vec_a JOIN v y ON y.vec_id = c.vec_b)
+SELECT vec_a, vec_b, CAST(round(sim * 10000) AS BIGINT) sim_e4
+FROM sims ORDER BY sim_e4 DESC, vec_a ASC, vec_b ASC LIMIT 50
+"""
+
+
+def _ivf_ann_sql(n_centroids: int = 8, nprobe: int = 2) -> str:
+    """IVF oracle: centroids = vec_id < n_centroids, assignment = argmax
+    cosine (ties → lowest cid, both sides), probe scans nprobe lists."""
+    dot = (
+        "list_sum(list_transform(range(1, 65),"
+        " i -> a.vec[CAST(i AS INT)] * c.cvec[CAST(i AS INT)]))"
+    )
+    return f"""
+WITH v AS ({_EMB_DVEC}),
+cents AS (SELECT vec_id AS cid, vec AS cvec FROM v
+          WHERE vec_id < {n_centroids}),
+scored AS (
+  SELECT a.vec_id, c.cid,
+    {dot} / (sqrt(list_sum(list_transform(a.vec, t -> t * t)))
+             * sqrt(list_sum(list_transform(c.cvec, t -> t * t)))) csim
+  FROM v a CROSS JOIN cents c),
+assign AS (SELECT vec_id, cid FROM scored
+           QUALIFY row_number() OVER (PARTITION BY vec_id
+                   ORDER BY csim DESC, cid ASC) = 1),
+plists AS (SELECT cid FROM scored WHERE vec_id = 0
+           QUALIFY row_number() OVER (ORDER BY csim DESC, cid ASC)
+                   <= {nprobe}),
+probe AS (SELECT vec AS qvec FROM v WHERE vec_id = 0),
+sims AS (
+  SELECT x.vec_id,
+    list_sum(list_transform(range(1, 65),
+      i -> x.vec[CAST(i AS INT)] * p.qvec[CAST(i AS INT)]))
+    / (sqrt(list_sum(list_transform(x.vec, t -> t * t)))
+       * sqrt(list_sum(list_transform(p.qvec, t -> t * t)))) sim
+  FROM v x JOIN assign s USING (vec_id) JOIN plists USING (cid)
+  CROSS JOIN probe p
+  WHERE x.vec_id <> 0)
+SELECT vec_id, CAST(round(sim * 10000) AS BIGINT) sim_e4
+FROM sims ORDER BY sim_e4 DESC, vec_id ASC LIMIT {_K}
+"""
+
+
+def _mlt_sql(seed_doc: int = 7, m: int = 5, k: int = 10) -> str:
+    """More-like-this oracle: the seed doc's top-m terms by tf·idf (ties
+    → term asc — the engine's sorted((-w, term)) selection) become an OR
+    BM25 query; the seed doc is excluded from the hits."""
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+dfx AS (SELECT term, CAST(count(*) AS BIGINT) df FROM tf GROUP BY term),
+seed AS (
+  SELECT t.term,
+         t.tf * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS w
+  FROM tf t JOIN dfx d USING (term) CROSS JOIN stats s
+  WHERE t.doc_id = {seed_doc}),
+qterms AS (SELECT term FROM seed ORDER BY w DESC, term ASC LIMIT {m}),
+qtf AS (SELECT tf.* FROM tf JOIN qterms USING (term)),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+agg AS (SELECT doc_id, sum(partial) AS score FROM scored GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM agg WHERE doc_id <> {seed_doc}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# match set for AND(spark, merge) — shared by the sort/range-facet oracles
+_MATCH_AND2 = f"""(
+  SELECT doc_id FROM (
+    SELECT doc_id, count(DISTINCT term) AS nt FROM ({_TOK})
+    WHERE term IN ('spark', 'merge') GROUP BY doc_id
+  ) WHERE nt = 2
+)"""
 
 
 def _lang_id_sql() -> str:
@@ -1621,4 +1821,34 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
                 " FROM documents WHERE doc_id % 97 <> 3),\n"
             ),
         ),
+        # caret boost "spark merge^3": merge's idf ×3 in the BM25 partial
+        "bm25_boost": _bm25_sql(
+            _Q_AND2, "AND", _K, order_raw=True, boosts={"merge": 3.0}
+        ),
+        # did-you-mean: lexicon terms within levenshtein 2 of 'qery'
+        "spell_suggest": f"""
+WITH lex AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ({_TF})
+             GROUP BY term)
+SELECT term, CAST(levenshtein(term, 'qery') AS BIGINT) AS dist, df
+FROM lex
+WHERE levenshtein(term, 'qery') <= 2 AND term <> 'qery'
+ORDER BY dist ASC, df DESC, term ASC LIMIT {_K}
+""",
+        # field-key sort over the AND(spark, merge) match set (O-1 + O-2)
+        "search_sort": f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents
+WHERE doc_id IN {_MATCH_AND2}
+ORDER BY n_chars DESC, doc_id ASC LIMIT {_K}
+""",
+        # width-100 histogram facet over the same match set
+        "search_facet_range": f"""
+SELECT b * 100 AS range_lo, b * 100 + 100 AS range_hi,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT CAST(floor(n_chars / 100) AS BIGINT) AS b FROM documents
+      WHERE doc_id IN {_MATCH_AND2})
+GROUP BY b ORDER BY range_lo
+""",
+        "dedup_embedding_lsh": _emb_lsh_pairs_sql(),
+        "ann_ivf_topk": _ivf_ann_sql(),
+        "more_like_this": _mlt_sql(),
     }

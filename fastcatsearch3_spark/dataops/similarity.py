@@ -25,15 +25,18 @@ DIM = 64
 PLANES = 6  # 2^6 = 64 buckets
 
 
-def hyperplanes(planes: int = PLANES, dim: int = DIM) -> list[list[float]]:
+def hyperplanes(
+    planes: int = PLANES, dim: int = DIM, salt: str = ""
+) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane matrix in [-1, 1): value
-    (i, j) = md5(f"{i}:{j}") first 8 hex digits / 2^32 * 2 - 1. Pure
-    function of (i, j) — identical in any language."""
+    (i, j) = md5(f"{salt}{i}:{j}") first 8 hex digits / 2^32 * 2 - 1. Pure
+    function of (salt, i, j) — identical in any language. ``salt`` yields
+    independent matrices per LSH band (empty = the ann_lsh_topk matrix)."""
     out = []
     for i in range(planes):
         row = []
         for j in range(dim):
-            h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+            h = int(hashlib.md5(f"{salt}{i}:{j}".encode()).hexdigest()[:8], 16)
             row.append(h / 2**32 * 2.0 - 1.0)
         out.append(row)
     return out
@@ -78,6 +81,122 @@ def brute_force_topk(emb: DataFrame, probe_id: int, k: int = 10) -> DataFrame:
         .select(
             "vec_id", F.round(sim * 10000).cast("long").alias("sim_e4")
         )
+        .orderBy(F.desc("sim_e4"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    bands: int = 4,
+    planes: int = 8,
+    limit: int = 50,
+) -> DataFrame:
+    """Near-duplicate embedding pairs via banded hyperplane LSH — the
+    SCALE path for the all-pairs ``embedding_cosine_pairs`` baseline
+    (which stays the documented O(n²) correctness oracle).
+
+    Candidate generation: each vector gets ``bands`` independent sign-bit
+    signatures (``planes`` bits each, per-band salted hyperplanes); a pair
+    is a candidate iff it collides in ≥1 band. Exact cosine runs ONLY on
+    candidates (the lesson of the round-1 MinHash verify bug: never join
+    verification back to an all-pairs relation). Collision probability per
+    band is (1 - θ/π)^planes, so high-cosine pairs survive with near-1
+    recall at bands=4/planes=8 while the candidate count stays ≈
+    Σ_bucket |bucket|² / 2 ≪ n²/2. At 100 TB the band signatures are one
+    narrow shuffle (vec_id, band, key) and buckets are bounded by design
+    (planes sizes the bucket count to the corpus).
+
+    Output: (vec_a, vec_b, sim_e4), top ``limit`` by similarity —
+    a subset of the brute-force pairs relation, deterministic."""
+    v = emb.withColumn("vec", _dvec("embedding"))
+    sig = None
+    for b in range(bands):
+        hp = hyperplanes(planes, salt=f"b{b}:")
+        s = v.select(
+            "vec_id",
+            F.lit(b).alias("band"),
+            bucket_of("vec", hp).alias("band_key"),
+        )
+        sig = s if sig is None else sig.unionByName(s)
+    left = sig.select(
+        F.col("vec_id").alias("vec_a"), "band", "band_key"
+    )
+    right = sig.select(
+        F.col("vec_id").alias("vec_b"), "band", "band_key"
+    )
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("avec"))
+    vb = v.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("bvec"))
+    sim = _dot("avec", "bvec") / (_norm("avec") * _norm("bvec"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(sim * 10000).cast("long").alias("sim_e4"),
+        )
+        .orderBy(F.desc("sim_e4"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(limit)
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are partitioned into
+    ``n_centroids`` inverted lists by nearest centroid; the probe scans
+    only its ``nprobe`` nearest lists.
+
+    "Training" is deterministic — the centroids are the vectors with
+    vec_id < n_centroids (a fixed sample; real IVF would k-means these,
+    which only moves the centroid values, not the plan shape). Assignment
+    is a broadcast join against the tiny centroid table + a ``max_by``
+    hash aggregate (map-side partial combine — NOT a row_number window,
+    which would sort-shuffle n×C rows), so at 100 TB it is one narrow
+    pass; the probe side scans ~nprobe/n_centroids of the corpus, and the
+    assignment column is the natural bucketing key for a persisted
+    inverted-list layout. Output: (vec_id, sim_e4) — a subset of the
+    brute-force scan's results."""
+    v = emb.withColumn("vec", _dvec("embedding"))
+    cents = v.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    csim = _dot("vec", "cvec") / (_norm("vec") * _norm("cvec"))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", csim.alias("csim")
+    )
+    # argmax with deterministic tie-break: struct orders lexicographically,
+    # so max (csim, -cid) = highest csim, then lowest cid
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("cid")
+    )
+    probe_lists = (
+        scored.where(F.col("vec_id") == probe_id)
+        .orderBy(F.desc("csim"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    probe = v.where(F.col("vec_id") == probe_id).select(
+        F.col("vec").alias("qvec")
+    )
+    sim = _dot("vec", "qvec") / (_norm("vec") * _norm("qvec"))
+    return (
+        v.join(assign, "vec_id")
+        .join(F.broadcast(probe_lists), "cid")
+        .where(F.col("vec_id") != probe_id)
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", F.round(sim * 10000).cast("long").alias("sim_e4"))
         .orderBy(F.desc("sim_e4"), F.asc("vec_id"))
         .limit(k)
     )

@@ -127,6 +127,12 @@ class ParsedQuery:
     # op/groups/msm are ignored; ``terms``/``not_terms`` hold the tree's
     # positive/negative-context leaves (the posting fetch list).
     tree: Node | None = None
+    # per-term score boosts ("word^2.5" syntax, J-6 at clause granularity):
+    # multiplies the term's idf weight in the scoring kernel (the
+    # reference's per-clause boost / Lucene's caret boost). A word's boost
+    # covers every token it analyzes to and its synonym expansions; a term
+    # reached via several boosted words keeps the MAX boost.
+    boosts: dict[str, float] = field(default_factory=dict)
 
     def __post_init__(self):
         if self.op not in ("AND", "OR"):
@@ -152,6 +158,16 @@ class ParsedQuery:
         return len({gid for gs in self.groups for gid in gs})
 
 
+def _split_boost(w: str) -> tuple[str, float | None]:
+    """Strip a trailing caret boost: "spark^2.5" → ("spark", 2.5)."""
+    import re as _re
+
+    m = _re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", w)
+    if m:
+        return m.group(1), float(m.group(2))
+    return w, None
+
+
 def _analyze_word(w: str, cfg: EngineConfig) -> tuple[str, list[str]]:
     """→ (term key prefix, analyzed tokens). "repo:spark" qualifies the
     token to the repo field — term key "repo:spark" (multi-index
@@ -170,30 +186,41 @@ def _analyze_word(w: str, cfg: EngineConfig) -> tuple[str, list[str]]:
 
 
 def _word_node(
-    w: str, cfg: EngineConfig, synonyms: dict[str, list[str]] | None
+    w: str,
+    cfg: EngineConfig,
+    synonyms: dict[str, list[str]] | None,
+    boosts_out: dict[str, float] | None = None,
 ) -> Node:
     """One query word → a clause-tree fragment: camelCase analysis fans out
     to AND of its tokens; a synonym entry fans a token out to OR(token,
     syn…) — the tree form of the flat path's group expansion. Unlike the
     flat path, duplicate leaves each score (Lucene BooleanQuery semantics;
     the flat path's set-semantics dedup exists to match its simpler
-    oracle)."""
+    oracle). A caret boost on the word lands in ``boosts_out`` for every
+    term the word produces (max-merged)."""
+    w, boost = _split_boost(w)
+
+    def note(term: str) -> str:
+        if boost is not None and boosts_out is not None:
+            boosts_out[term] = max(boost, boosts_out.get(term, 0.0))
+        return term
+
     if w.endswith("*") and len(w) > 1:
         pref, toks = _analyze_word(w[:-1], cfg)
         if len(toks) != 1:
             raise ValueError(
                 f"prefix term {w!r} must analyze to one token, got {toks}"
             )
-        return Node("term", term=pref + toks[0] + "*")
+        return Node("term", term=note(pref + toks[0] + "*"))
     pref, toks = _analyze_word(w, cfg)
     if not toks:
         raise ValueError(f"query word {w!r} analyzed to nothing")
     leaves: list[Node] = []
     for t in toks:
-        leaf = Node("term", term=pref + t)
+        leaf = Node("term", term=note(pref + t))
         if synonyms and not pref and t in synonyms:
             syn_leaves = tuple(
-                Node("term", term=st)
+                Node("term", term=note(st))
                 for s in synonyms[t]
                 for st in tokenize_text(s, cfg)
             )
@@ -204,7 +231,10 @@ def _word_node(
 
 
 def _parse_tree(
-    text: str, cfg: EngineConfig, synonyms: dict[str, list[str]] | None
+    text: str,
+    cfg: EngineConfig,
+    synonyms: dict[str, list[str]] | None,
+    boosts_out: dict[str, float] | None = None,
 ) -> Node:
     """Recursive-descent parse of the parenthesized grammar:
 
@@ -294,7 +324,7 @@ def _parse_tree(
         if t is None or t == ")":
             raise ValueError(f"unexpected token in query {text!r}")
         pos += 1
-        return _word_node(t, cfg, synonyms)
+        return _word_node(t, cfg, synonyms, boosts_out)
 
     root = parse_expr()
     if peek() is not None:
@@ -335,7 +365,8 @@ def parse_query(
         # nested boolean (parenthesized) query → clause tree (the
         # reference's arbitrarily nested Clause tree; the flat grammar
         # below stays byte-identical for unparenthesized queries)
-        root = _parse_tree(text, cfg, synonyms)
+        boosts: dict[str, float] = {}
+        root = _parse_tree(text, cfg, synonyms, boosts)
         if phrase_words:
             # phrase words are required scored terms on top of the
             # positional constraint, exactly like the flat path
@@ -352,6 +383,7 @@ def parse_query(
             tree=root,
             phrases=phrases,
             phrase_slops=phrase_slops,
+            boosts=boosts,
         )
 
     raw = text.split()
@@ -385,9 +417,17 @@ def parse_query(
 
     terms: list[str] = []
     groups: list[int] = []
+    boosts: dict[str, float] = {}
     gid = 0
     has_prefix = False
     for w in pos_words:
+        w, boost = _split_boost(w)
+
+        def note(term: str) -> str:
+            if boost is not None:
+                boosts[term] = max(boost, boosts.get(term, 0.0))
+            return term
+
         if w.endswith("*") and len(w) > 1:
             # prefix (wildcard) term: "spar*" → placeholder "spar*" kept in
             # the term list; search_index expands it against the lexicon
@@ -398,23 +438,24 @@ def parse_query(
                 raise ValueError(
                     f"prefix term {w!r} must analyze to one token, got {toks}"
                 )
-            terms.append(pref + toks[0] + "*")
+            terms.append(note(pref + toks[0] + "*"))
             groups.append(gid)
             gid += 1
             has_prefix = True
             continue
         pref, toks = analyze_word(w)
         for t in toks:
-            terms.append(pref + t)
+            terms.append(note(pref + t))
             groups.append(gid)
             if synonyms and not pref and t in synonyms:
                 for s in synonyms[t]:
                     for st in tokenize_text(s, cfg):
-                        terms.append(st)
+                        terms.append(note(st))
                         groups.append(gid)
             gid += 1
     nterms: list[str] = []
     for w in neg_words:
+        w, _ = _split_boost(w)  # a boost on a NOT clause is meaningless
         if w.endswith("*") and len(w) > 1:
             raise ValueError("prefix terms are not supported in NOT clauses")
         pref, toks = analyze_word(w)
@@ -447,4 +488,5 @@ def parse_query(
         msm=msm,
         phrases=phrases,
         phrase_slops=phrase_slops,
+        boosts=boosts,
     )

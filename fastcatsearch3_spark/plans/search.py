@@ -236,6 +236,12 @@ def _expand_prefixes(
         pos_terms, neg_terms = tree_terms(root)
         if not pos_terms:
             return None
+        boosts = dict(pq.boosts or {})
+        for ph, reps in expansions.items():
+            if ph in boosts:
+                for r in reps:
+                    boosts[r] = max(boosts[ph], boosts.get(r, 0.0))
+                del boosts[ph]
         return ParsedQuery(
             terms=pos_terms,
             not_terms=neg_terms,
@@ -243,6 +249,7 @@ def _expand_prefixes(
             tree=root,
             phrases=pq.phrases,
             phrase_slops=pq.phrase_slops,
+            boosts=boosts,
         )
     groups = pq.groups or [(i,) for i in range(len(pq.terms))]
     new_terms: list[str] = []
@@ -263,6 +270,12 @@ def _expand_prefixes(
                 new_groups.append(tuple(gs))
     if not new_terms:
         return None
+    boosts = dict(pq.boosts or {})
+    for ph, reps in expansions.items():
+        if ph in boosts:
+            for r in reps:
+                boosts[r] = max(boosts[ph], boosts.get(r, 0.0))
+            del boosts[ph]
     return ParsedQuery(
         terms=new_terms,
         not_terms=pq.not_terms,
@@ -271,6 +284,7 @@ def _expand_prefixes(
         msm=pq.msm,
         phrases=pq.phrases,
         phrase_slops=pq.phrase_slops,
+        boosts=boosts,
     )
 
 
@@ -286,6 +300,148 @@ def suggest_terms(
         .where(F.col("term").startswith(prefix))
         .select("term", F.col("df").cast("long").alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def spell_suggest(
+    spark: SparkSession,
+    store,
+    word: str,
+    max_dist: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Did-you-mean: lexicon terms within Levenshtein ``max_dist`` of
+    ``word``, ranked (distance asc, df desc, term asc) — the reference's
+    spell/suggest correction re-expressed as a lexicon query.
+
+    Scale shape: the candidate set is first narrowed by the pushed-down
+    length band |len(term) − len(word)| ≤ max_dist (a Levenshtein lower
+    bound), so the JVM-side levenshtein() runs on a sliver of the lexicon;
+    the lexicon itself is ≪ postings (≈ vocabulary size) even at 100 TB."""
+    ln = len(word)
+    return (
+        store.lexicon(spark)
+        .where(
+            (F.length("term") >= ln - max_dist)
+            & (F.length("term") <= ln + max_dist)
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(word)))
+        .where((F.col("dist") <= max_dist) & (F.col("term") != word))
+        .select(
+            "term",
+            F.col("dist").cast("long").alias("dist"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def search_sorted(
+    spark: SparkSession,
+    store,
+    query: str | ParsedQuery,
+    fields_df: DataFrame,
+    sort_cols: list,
+    k: int = 10,
+    offset: int = 0,
+) -> DataFrame:
+    """Boolean match set ordered by STORED-FIELD keys instead of BM25
+    (the reference's non-score sort, O-1 with a field key + O-2 paging).
+
+    The match set comes from the distributed no-top-k path
+    (``match_doc_ids`` — never collected), joins the stored-field
+    projection, and the orderBy+limit compiles to TakeOrderedAndProject:
+    each partition keeps offset+k rows, the driver merges — the same
+    scatter-gather shape as the scored path."""
+    ids = match_doc_ids(spark, store, query)
+    return (
+        fields_df.join(ids, "doc_id")
+        .orderBy(*sort_cols)
+        .offset(offset)
+        .limit(k)
+    )
+
+
+def range_facet(
+    df: DataFrame,
+    col: str,
+    width: int,
+    lo: int = 0,
+) -> DataFrame:
+    """Range (histogram) facet: rows bucketed into fixed-width intervals
+    [lo + i·width, lo + (i+1)·width) with per-bucket counts — the
+    reference's range-facet variant of A-1. One hash aggregate with
+    map-side combine; bucket count is value-range/width, independent of
+    row count, so the result is always broadcast-small."""
+    bucket = F.floor((F.col(col) - lo) / width).cast("long")
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            (F.col("bucket") * width + lo).alias("range_lo"),
+            (F.col("bucket") * width + lo + width).alias("range_hi"),
+            "cnt",
+        )
+        .orderBy("range_lo")
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    store,
+    doc_id: int,
+    corpus_df: DataFrame,
+    m: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """More-like-this: the ``m`` most distinctive terms of one document
+    (tf·idf, ties → term asc) become an OR query; the source doc itself is
+    excluded from the hits (Lucene MoreLikeThis over term vectors [M]).
+
+    The seed doc's tokens are computed driver-side from its stored content
+    (ONE row — the reference reads the same from its term-vector store);
+    df comes from the lexicon via a pushed ``isin`` on just those terms.
+    The search itself is the standard packed-index path."""
+    from fastcatsearch3_spark.functions.analyzer import tokenize_text
+    from fastcatsearch3_spark.plans.scoring import bm25_idf
+
+    cfg = store.config()
+    row = (
+        corpus_df.where(F.col("doc_id") == doc_id)
+        .select("content")
+        .collect()
+    )
+    if not row:
+        return spark.createDataFrame([], "doc_id long, score double")
+    toks = tokenize_text(row[0]["content"], cfg)
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    stats = store.stats()
+    n_docs = stats["n_docs"]
+    lex = (
+        store.lexicon(spark)
+        .where(F.col("term").isin(list(tf)))
+        .select("term", "df")
+        .collect()
+    )
+    scored = sorted(
+        (
+            (-tf[r["term"]] * bm25_idf(n_docs, r["df"]), r["term"])
+            for r in lex
+        ),
+    )[:m]
+    terms = [t for _, t in scored]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    pq = ParsedQuery(terms=terms, op="OR")
+    hits = search_index(spark, store, pq, k=k + 1, mode="taat")
+    return (
+        hits.where(F.col("doc_id") != doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
 
@@ -533,6 +689,11 @@ def search_index(
         if n_present < pq.msm:
             return spark.createDataFrame([], "doc_id long, score double")
     qidf = {t: float(bm25_idf(n_docs, dfmap[t])) for t in terms}
+    # caret boosts (J-6 per clause): scale the term's idf weight — the
+    # kernel and every scoring mode see the boost through TermPostings.idf
+    for t, w in (pq.boosts or {}).items():
+        if t in qidf:
+            qidf[t] *= w
 
     kept = [
         (ph, sl)
