@@ -995,6 +995,22 @@ def _q_more_like_this(spark, sf_dir):  # Lucene-style MLT: seed doc's top
     return hits.select("doc_id", _e4())
 
 
+def _q_stream_window(spark, sf_dir):  # ST-3: the STREAM-capable watermarked
+    # window helper run in batch mode (same plan; watermark is a no-op) —
+    # its streaming semantics (append emit, late-drop) are pinned by
+    # tests/test_streaming.py against a real readStream
+    from fastcatsearch3_spark.streaming.windows import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, keys=("event_type",))
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+        "event_type",
+        "cnt",
+        F.round(F.col("value_sum") * 10000).cast("long").alias("value_sum_e4"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
@@ -1063,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "more_like_this": _q_more_like_this,
+        "stream_window": _q_stream_window,
     }
 
 
@@ -1851,4 +1868,11 @@ GROUP BY b ORDER BY range_lo
         "dedup_embedding_lsh": _emb_lsh_pairs_sql(),
         "ann_ivf_topk": _ivf_ann_sql(),
         "more_like_this": _mlt_sql(),
+        # the stream-capable window helper, batch-equivalent oracle
+        "stream_window": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,"
+            " event_type, CAST(count(*) AS BIGINT) AS cnt,"
+            " CAST(round(sum(value) * 10000) AS BIGINT) AS value_sum_e4"
+            " FROM events GROUP BY 1, 2"
+        ),
     }

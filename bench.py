@@ -139,6 +139,31 @@ def main() -> None:
         t0 = time.monotonic()
         SIM.lsh_ann_topk(emb, probe_id=0, k=10).count()
         timings["ann_lsh"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        SIM.ivf_ann_topk(emb, probe_id=0, k=10).count()
+        timings["ann_ivf"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        SIM.embedding_lsh_pairs(emb, limit=50).count()
+        timings["dedup_embedding_lsh"] = round(time.monotonic() - t0, 3)
+
+        # --- r2 search-surface additions -------------------------------
+        from fastcatsearch3_spark.plans.query import parse_query
+        from fastcatsearch3_spark.plans.search import (
+            more_like_this,
+            spell_suggest,
+        )
+
+        t0 = time.monotonic()
+        search_index(
+            spark, store, parse_query("spark merge^3", cfg), k=10
+        ).collect()
+        timings["q_boost"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        spell_suggest(spark, store, "qery", k=10).collect()
+        timings["q_spell"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        more_like_this(spark, store, 7, corpus, m=5, k=10).collect()
+        timings["q_mlt"] = round(time.monotonic() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

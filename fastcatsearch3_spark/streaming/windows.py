@@ -1,0 +1,55 @@
+"""Watermarked stream windows (SURVEY.md ST-3).
+
+The reference has no stream-analytics module (its "streams" are the
+incremental-indexing batches covered by ST-1/ST-2); this is the engine
+extension that a Spark-native deployment gets for free — the same windowed
+aggregation shape as the batch `events_hourly` driver query, but runnable
+as a Structured Streaming query with event-time semantics:
+
+  * tumbling window on the event timestamp;
+  * watermark bounds state: a window's aggregation state is dropped once
+    the watermark (max seen event time − delay) passes its end, which is
+    what makes unbounded streams feasible — state is O(open windows), not
+    O(stream length);
+  * append output mode emits a window exactly once, when it closes; rows
+    arriving later than the watermark are dropped (the documented
+    late-data contract, asserted in tests/test_streaming.py).
+
+At 100 TB/day the aggregation is a streaming partial/final agg keyed by
+(window, keys) — the same map-side-combine shape as the batch path; the
+watermark bounds the shuffle state, and the source would be a partitioned
+file/Kafka stream with maxFilesPerTrigger/maxOffsetsPerTrigger sizing the
+micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Per-(window, keys) event counts + value sum. Works unchanged on a
+    batch DataFrame (watermark is a no-op there) and on a readStream
+    DataFrame (append mode emits closed windows only)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), *keys)
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "cnt",
+            "value_sum",
+        )
+    )

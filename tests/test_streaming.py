@@ -1,0 +1,109 @@
+"""Structured-Streaming semantics of ST-3 (windows + watermark late-data
+contract) — a REAL readStream with controlled micro-batches, not the
+batch-shape events_hourly query.
+
+Batch boundaries are forced by writing one source file per batch and
+calling processAllAvailable() between writes, so the watermark advances
+deterministically:
+
+  batch 1: events at 10:05, 10:40        → watermark after: 09:40
+  batch 2: event  at 12:30 + LATE 10:15  → 10:15 ≥ 09:40: accepted;
+                                           watermark after: 11:30 —
+                                           window [10:00, 11:00) closes and
+                                           is emitted (append mode)
+  batch 3: TOO-LATE event at 10:20       → 10:20 < 11:30: dropped
+
+The [10:00, 11:00) window must therefore count exactly 3 events (the two
+on-time + the late-but-within-watermark one), and the too-late row must
+never appear anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from fastcatsearch3_spark.streaming.windows import windowed_event_counts
+
+
+def _write_batch(path, rows, i):
+    pd.DataFrame(
+        rows, columns=["ts", "event_type", "value"]
+    ).astype({"ts": "datetime64[us]"}).to_parquet(
+        f"{path}/batch-{i}.parquet", index=False
+    )
+
+
+def test_watermark_window_late_data(spark, tmp_path):
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(src, [("2026-01-01 10:05:00", "click", 1.0),
+                       ("2026-01-01 10:40:00", "click", 2.0)], 0)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = windowed_event_counts(
+        stream, window="1 hour", watermark="1 hour", keys=("event_type",)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing emitted yet: no window has closed
+        assert spark.sql("SELECT * FROM win_counts").count() == 0
+
+        # batch 2: watermark is 09:40, so the 10:15 straggler is ACCEPTED;
+        # 12:30 advances the watermark to 11:30, closing [10:00, 11:00)
+        _write_batch(src, [("2026-01-01 12:30:00", "click", 8.0),
+                           ("2026-01-01 10:15:00", "click", 4.0)], 1)
+        q.processAllAvailable()
+
+        # batch 3: watermark 11:30 → the 10:20 row is TOO LATE, dropped
+        _write_batch(src, [("2026-01-01 10:20:00", "click", 100.0)], 2)
+        q.processAllAvailable()
+
+        out = spark.sql(
+            "SELECT * FROM win_counts ORDER BY window_start"
+        ).toPandas()
+        ten = out[out["window_start"] == pd.Timestamp("2026-01-01 10:00:00")]
+        assert len(ten) == 1
+        assert int(ten["cnt"].iloc[0]) == 3          # 10:05 + 10:40 + 10:15
+        assert float(ten["value_sum"].iloc[0]) == 7.0  # 1 + 2 + 4: no 100.0
+        # the too-late row contributed nowhere
+        assert float(out["value_sum"].sum()) <= 7.0 + 8.0
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_batch_equivalence(spark):
+    # the same helper on a BATCH frame == plain groupBy window (watermark
+    # is a no-op in batch) — ties the streaming shape to the oracle-checked
+    # events_hourly semantics
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = (
+        windowed_event_counts(df, keys=("event_type",))
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    from pyspark.sql import functions as F
+
+    exp = (
+        df.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").cast("long").alias("cnt"),
+             F.sum("value").alias("value_sum"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type", "cnt", "value_sum")
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, exp)
