@@ -217,6 +217,44 @@ FROM final ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _collapse_sql(terms: list[str], k: int, per_group: int) -> str:
+    """DuckDB oracle for field collapse (OR query, group = source/repo):
+    score all matching docs, rank within each group by (score desc,
+    doc_id asc), keep the top-``k`` groups by their rank-1 doc, emit up
+    to ``per_group`` rows per surviving group."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ({tlist})),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score FROM scored GROUP BY doc_id),
+g AS (SELECT a.doc_id, a.score, d.source AS repo
+      FROM agg a JOIN documents d USING (doc_id)),
+r AS (SELECT repo, doc_id, score,
+             CAST(count(*) OVER (PARTITION BY repo) AS BIGINT) AS group_hits,
+             row_number() OVER (PARTITION BY repo
+                                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM g),
+topg AS (SELECT repo, doc_id AS best_doc, score AS best_score
+         FROM r WHERE rn = 1
+         ORDER BY best_score DESC, best_doc ASC LIMIT {k})
+SELECT r.repo, r.doc_id,
+       CAST(round(r.score * 10000) AS BIGINT) AS score_e4,
+       r.group_hits, CAST(r.rn AS INT) AS rank_in_group
+FROM r JOIN topg USING (repo)
+WHERE r.rn <= {per_group}
+ORDER BY topg.best_score DESC, topg.best_doc ASC, r.rn ASC
+"""
+
+
 # query constants (words present in the synthetic corpus vocabulary)
 _Q_AND = ["spark", "merge", "table"]
 _Q_AND2 = ["spark", "merge"]
@@ -995,6 +1033,24 @@ def _q_more_like_this(spark, sf_dir):  # Lucene-style MLT: seed doc's top
     return hits.select("doc_id", _e4())
 
 
+def _q_search_collapse(spark, sf_dir):
+    # field collapse / result bundling: best 2 docs per repo (=source) for
+    # the top-8 repos by best-doc BM25 score, with bundle sizes — the full
+    # match set stays distributed (_return_all), best-per-group is one
+    # combinable max(struct) aggregate, per-group expansion windows only
+    # over the 8 surviving groups
+    from fastcatsearch3_spark.plans.search import search_collapse
+
+    store = _packed_store(spark, sf_dir)
+    out = search_collapse(
+        spark, store, ParsedQuery(terms=_Q_OR, op="OR"), "repo",
+        k=8, per_group=2, corpus_df=_corpus(spark, sf_dir),
+    )
+    return out.select(
+        "repo", "doc_id", _e4(), "group_hits", "rank_in_group"
+    )
+
+
 def _q_stream_window(spark, sf_dir):  # ST-3: the STREAM-capable watermarked
     # window helper run in batch mode (same plan; watermark is a no-op) —
     # its streaming semantics (append emit, late-drop) are pinned by
@@ -1079,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "more_like_this": _q_more_like_this,
+        "search_collapse": _q_search_collapse,
         "stream_window": _q_stream_window,
     }
 
@@ -1868,6 +1925,7 @@ GROUP BY b ORDER BY range_lo
         "dedup_embedding_lsh": _emb_lsh_pairs_sql(),
         "ann_ivf_topk": _ivf_ann_sql(),
         "more_like_this": _mlt_sql(),
+        "search_collapse": _collapse_sql(_Q_OR, 8, 2),
         # the stream-capable window helper, batch-equivalent oracle
         "stream_window": (
             "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,"

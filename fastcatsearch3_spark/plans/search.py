@@ -625,12 +625,17 @@ def search_index(
     hydrate: bool = False,
     corpus_df: DataFrame | None = None,
     offset: int = 0,
+    _return_all: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, score) ordered by
     (score desc, doc_id asc); with ``hydrate``, stored corpus fields too.
     ``offset`` pages past the first N results (the reference's sn/ln
     paging, O-2): each shard kernel keeps offset+k local hits so the
-    global merge can skip offset rows exactly."""
+    global merge can skip offset rows exactly.
+
+    ``_return_all`` (internal, for collapse/grouping): score EVERY
+    matching doc and return the distributed unordered (doc_id, score)
+    relation — no top-k truncation, no driver collect."""
     cfg = store.config()
     pq = parse_query(query, cfg) if isinstance(query, str) else query
     pq = _expand_prefixes(spark, store, pq, cfg)
@@ -751,7 +756,9 @@ def search_index(
     kernel = _make_kernel(
         qidf,
         set(not_terms),
-        k=offset + k,  # each shard must hold enough hits to page past offset
+        # each shard holds offset+k hits so the global merge can page
+        # exactly; _return_all disables truncation entirely
+        k=(1 << 62) if _return_all else offset + k,
         op=pq.op,
         mode=mode,
         k1=cfg.k1,
@@ -797,6 +804,16 @@ def search_index(
     #     (shard, docno IN …) prunes row groups (docmap is written sorted
     #     by (shard, docno)). A full docmap scan per query is the
     #     dominant per-query cost at 10^12 docs.
+    if _return_all:
+        # full scored match set, distributed: the docmap join stays a
+        # shuffle-free broadcast only when hits are known-small — here
+        # they are O(matches), so use a plain key join and let AQE pick
+        return (
+            store.docmap(spark)
+            .select("segment_id", "shard", "docno", "doc_id")
+            .join(hits, ["segment_id", "shard", "docno"])
+            .select("doc_id", "score")
+        )
     if n_docs < cfg.hydrate_pushdown_min_docs:
         out = (
             store.docmap(spark)
@@ -842,6 +859,113 @@ def search_index(
             .limit(k)
         )
     return _hydrate(spark, store, out, hydrate, corpus_df)
+
+
+def search_collapse(
+    spark: SparkSession,
+    store,  # fastcatsearch3_spark.index.IndexStore
+    query: str | ParsedQuery,
+    group_col: str,
+    k: int = 10,
+    per_group: int = 1,
+    mode: str = "bmw",
+    corpus_df: DataFrame | None = None,
+) -> DataFrame:
+    """Field collapse / result grouping: the reference's result *bundling*
+    (server:search result grouping [M]) — one entry per distinct
+    ``group_col`` value, ranked by its best-scoring document, with the
+    total number of matches in the bundle.
+
+    Returns (``group_col``, doc_id, score, group_hits, rank_in_group)
+    limited to the top-``k`` groups; with ``per_group`` > 1, up to that
+    many best documents per surviving group.
+
+    Scale shape: the full scored match set stays distributed
+    (``search_index(_return_all=True)`` — no top-k truncation, no driver
+    collect); "best doc per group" is ONE hash aggregate (map-side
+    combinable ``max(struct(score, -doc_id))``), and the top-k-groups
+    merge is TakeOrderedAndProject. The ``per_group`` > 1 expansion runs
+    a row_number window ONLY over rows of the k surviving groups
+    (broadcast semi-join first), never over the full match set.
+    """
+    scored = search_index(
+        spark, store, query, mode=mode, _return_all=True
+    )
+    # work on an internal alias so group_col == "doc_id" (collapse on the
+    # unique key, i.e. plain search) never creates a duplicate column
+    gc = "__grp"
+    if group_col != "doc_id":
+        if corpus_df is not None:
+            fields = corpus_df
+        elif store.has_corpus():
+            fields = store.corpus(spark)
+        else:
+            raise ValueError(
+                "collapse needs the group field's stored values: pass "
+                "corpus_df= or keep a corpus/ copy in the index root"
+            )
+        scored = scored.join(
+            fields.select("doc_id", F.col(group_col).alias(gc)), "doc_id"
+        )
+    else:
+        scored = scored.withColumn(gc, F.col("doc_id"))
+    # best (score desc, doc_id asc) per group in one combinable aggregate:
+    # max of struct compares fields left-to-right, so (score, -doc_id)
+    # encodes exactly the ranking tie-break
+    if group_col == "doc_id":
+        out_cols = ["doc_id", "score", "group_hits", "rank_in_group"]
+    else:
+        out_cols = [
+            F.col(gc).alias(group_col), "doc_id", "score", "group_hits",
+            "rank_in_group",
+        ]
+    best = (
+        scored.groupBy(gc)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"), (-F.col("doc_id")).alias("nid")
+                )
+            ).alias("m"),
+            F.count(F.lit(1)).alias("group_hits"),
+        )
+        .select(
+            gc,
+            (-F.col("m.nid")).cast("long").alias("doc_id"),
+            F.col("m.score").alias("score"),
+            "group_hits",
+        )
+    )
+    topg = (
+        best.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank_in_group", F.lit(1))
+    )
+    if per_group <= 1:
+        return topg.select(*out_cols)
+    from pyspark.sql import Window
+
+    members = scored.join(
+        F.broadcast(
+            topg.select(
+                gc,
+                "group_hits",
+                F.col("score").alias("_best_score"),
+                F.col("doc_id").alias("_best_doc"),
+            )
+        ),
+        gc,
+    )
+    w = Window.partitionBy(gc).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        members.withColumn("rank_in_group", F.row_number().over(w))
+        .where(F.col("rank_in_group") <= per_group)
+        # bundles in best-score order, docs in rank order within a bundle
+        .orderBy(
+            F.desc("_best_score"), F.asc("_best_doc"), F.asc("rank_in_group")
+        )
+        .select(*out_cols)
+    )
 
 
 def _hydrate(
