@@ -672,6 +672,48 @@ def _q_curation_pipeline(spark, sf_dir):  # composition showcase: quality
     )
 
 
+def _q_sample_stratified(spark, sf_dir):
+    # deterministic per-stratum Bernoulli sampling on md5(doc_id) — no RNG
+    # state, no shuffle, same survivors at any cluster size
+    from fastcatsearch3_spark.dataops import curation as CU
+
+    return CU.sample_stratified(
+        _docs(spark, sf_dir), {"en": 0.5, "fr": 0.25}, salt="sample"
+    )
+
+
+def _q_mixture_weights(spark, sf_dir):
+    # per-language token shares + the resampling weight that retargets the
+    # corpus to a requested mixture — one combinable aggregate
+    from fastcatsearch3_spark.dataops import curation as CU
+
+    return CU.mixture_weights(
+        _docs(spark, sf_dir), {"en": 0.4, "fr": 0.3, "es": 0.3}
+    )
+
+
+def _q_ngram_contamination(spark, sf_dir):
+    # benchmark-contamination check: train docs sharing any 8-gram with
+    # the eval split (source='src0' stands in for a benchmark); eval side
+    # broadcasts, corpus never shuffles
+    from fastcatsearch3_spark.dataops import curation as CU
+
+    docs = _docs(spark, sf_dir)
+    return CU.ngram_contamination(
+        docs, docs.where(F.col("source") == "src0"), n=8
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    # concat-and-chunk sequence packing into 512-token sequences across 4
+    # deterministic hash-bucket streams (window cumsum per bucket)
+    from fastcatsearch3_spark.dataops import curation as CU
+
+    return CU.pack_sequences(
+        _docs(spark, sf_dir), capacity=512, n_buckets=4, salt="pack"
+    )
+
+
 def _q_pii_scrub(spark, sf_dir):  # training-data redaction pass (ext)
     # append deterministic synthetic PII so the scrub provably fires
     aug = _docs(spark, sf_dir).select(
@@ -1124,6 +1166,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _q_bm25_prefix,
         "search_facet": _q_search_facet,
         "pii_scrub": _q_pii_scrub,
+        "sample_stratified": _q_sample_stratified,
+        "mixture_weights": _q_mixture_weights,
+        "ngram_contamination": _q_ngram_contamination,
+        "pack_sequences": _q_pack_sequences,
         "suggest": _q_suggest,
         "curation_pipeline": _q_curation_pipeline,
         "bm25_proximity": _q_bm25_proximity,
@@ -1848,6 +1894,74 @@ GROUP BY d.lang ORDER BY d.lang
         # are shared literals (fastcatsearch3_spark.dataops.textstats
         # .PII_PATTERNS) valid in both Java regex and RE2
         "pii_scrub": _pii_scrub_sql(),
+        # md5-keyed Bernoulli sample: u from the first 8 md5 hex digits,
+        # bit-identical to the engine's conv(substr(md5(...)),16,10)/2^32
+        "sample_stratified": """
+WITH s AS (
+  SELECT doc_id, lang AS stratum,
+         CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u,
+         CASE WHEN lang = 'en' THEN 0.5
+              WHEN lang = 'fr' THEN 0.25 ELSE 0.0 END AS rate
+  FROM documents)
+SELECT doc_id, stratum,
+       CAST(round(u * 1000000) AS BIGINT) AS u_e6
+FROM s WHERE u < rate ORDER BY doc_id
+""",
+        "mixture_weights": """
+WITH agg AS (
+  SELECT lang AS stratum,
+         CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM agg)
+SELECT stratum, docs, tokens,
+       CAST(round(CAST(tokens AS DOUBLE) / total_tokens * 1000000) AS BIGINT)
+         AS share_e6,
+       CAST(round((CASE WHEN stratum = 'en' THEN 0.4
+                        WHEN stratum = 'fr' THEN 0.3
+                        WHEN stratum = 'es' THEN 0.3 ELSE 0.0 END)
+                  / (CAST(tokens AS DOUBLE) / total_tokens) * 1000000)
+            AS BIGINT) AS weight_e6
+FROM agg CROSS JOIN tot ORDER BY stratum
+""",
+        # 8-gram overlap with the 'src0' eval split; eval docs excluded
+        "ngram_contamination": f"""
+WITH t AS (SELECT doc_id, source,
+                  regexp_extract_all(lower(text), '[a-z0-9]+') arr
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, source,
+              unnest(list_transform(range(1, len(arr) - 6),
+                i -> {" || ' ' || ".join(f"arr[i+{k}]" for k in range(8))}))
+                AS shingle
+       FROM t WHERE len(arr) >= 8),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+FROM sh JOIN ev USING (shingle)
+WHERE source <> 'src0'
+GROUP BY doc_id ORDER BY doc_id
+""",
+        # concat-and-chunk packing: md5 bucket, per-bucket running token
+        # total in doc_id order -> (seq_id, start_off)
+        "pack_sequences": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 4 AS bucket,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS tokens
+  FROM documents),
+c AS (SELECT doc_id, bucket, tokens,
+             CAST(sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t WHERE tokens > 0)
+SELECT doc_id, bucket,
+       CAST(floor((cum - tokens) / 512.0) AS BIGINT) AS seq_id,
+       CAST((cum - tokens) % 512 AS BIGINT) AS start_off,
+       tokens
+FROM c ORDER BY doc_id
+""",
         # facet counts over the AND(spark, merge) match set (no top-k)
         "search_facet": f"""
 SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents

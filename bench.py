@@ -164,6 +164,31 @@ def main() -> None:
         t0 = time.monotonic()
         more_like_this(spark, store, 7, corpus, m=5, k=10).collect()
         timings["q_mlt"] = round(time.monotonic() - t0, 3)
+        from fastcatsearch3_spark.plans.search import search_collapse
+
+        t0 = time.monotonic()
+        search_collapse(
+            spark, store, ParsedQuery(terms=["vector", "stream"], op="OR"),
+            "repo", k=8, per_group=2, corpus_df=corpus,
+        ).collect()
+        timings["q_collapse"] = round(time.monotonic() - t0, 3)
+
+        # --- curation dataops ------------------------------------------
+        from fastcatsearch3_spark.dataops import curation as CU
+
+        t0 = time.monotonic()
+        CU.sample_stratified(docs, {"en": 0.5, "fr": 0.25}).count()
+        timings["sample_stratified"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        from pyspark.sql import functions as _F
+
+        CU.ngram_contamination(
+            docs, docs.where(_F.col("source") == "src0"), n=8
+        ).count()
+        timings["ngram_contamination"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        CU.pack_sequences(docs, capacity=2048, n_buckets=16).count()
+        timings["pack_sequences"] = round(time.monotonic() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
