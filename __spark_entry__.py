@@ -33,7 +33,12 @@ from fastcatsearch3_spark.operators.build import build_index
 from fastcatsearch3_spark.operators.ingest import load_documents
 from fastcatsearch3_spark.plans import sql_bm25
 from fastcatsearch3_spark.plans.highlight import highlight_udf
-from fastcatsearch3_spark.plans.query import Node, ParsedQuery, parse_query
+from fastcatsearch3_spark.plans.query import (
+    Node,
+    ParsedQuery,
+    parse_multifield,
+    parse_query,
+)
 from fastcatsearch3_spark.plans.search import match_doc_ids, search_index
 
 CFG = EngineConfig()
@@ -825,6 +830,18 @@ def _q_bm25_field(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25_multifield(spark, sf_dir):
+    # multi-index weighted query (qf boosts): each word must match in >=1
+    # of the weighted fields; every matching field adds weight*BM25_field.
+    # "spark" resolves via content, "src1" via the repo index; repo's
+    # contribution is doubled. Reuses the bm25_field (content,repo) index.
+    cfg_f = EngineConfig(indexed_fields=("content", "repo"))
+    store = _packed_store(spark, sf_dir, cfg=cfg_f)
+    pq = parse_multifield("spark src1", {"content": 1.0, "repo": 2.0}, cfg_f)
+    hits = search_index(spark, store, pq, k=_K)
+    return hits.select("doc_id", _e4())
+
+
 def _q_search_highlight(spark, sf_dir):  # F-7 whole-field highlight of top-k
     store = _packed_store(spark, sf_dir)
     hits = search_index(spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), k=_K)
@@ -1157,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm": _q_bm25_msm,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_field": _q_bm25_field,
+        "bm25_multifield": _q_bm25_multifield,
         "search_highlight": _q_search_highlight,
         "source_csv": _q_source_csv,
         "source_json": _q_source_json,
@@ -1815,6 +1833,44 @@ agg AS (SELECT doc_id, sum(partial) score, count(*) nt FROM scored
         GROUP BY doc_id)
 SELECT doc_id, CAST(round(score * 10000) AS BIGINT) score_e4 FROM agg
 WHERE nt = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # weighted multifield (qf): q unions each field's tf with its own
+        # avgdl AND a weight column; the AND gate counts matched word-
+        # groups (a group spans the word's key in every field)
+        "bm25_multifield": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+ndocs AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+rtok AS (SELECT doc_id,
+           'repo:' || unnest(regexp_extract_all(lower(source), '[a-z0-9]+'))
+             AS term
+         FROM documents),
+rtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM rtok
+        GROUP BY doc_id, term),
+rdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) dl FROM rtok GROUP BY doc_id),
+cav AS (SELECT sum(dl) * 1.0 / (SELECT n FROM ndocs) avgdl FROM dl),
+rav AS (SELECT sum(dl) * 1.0 / (SELECT n FROM ndocs) avgdl FROM rdl),
+q AS (
+  SELECT t.doc_id, t.term, t.tf, l.dl, (SELECT avgdl FROM cav) avgdl, 1.0 wgt
+  FROM tf t JOIN dl l USING (doc_id) WHERE t.term IN ('spark', 'src1')
+  UNION ALL
+  SELECT t.doc_id, t.term, t.tf, l.dl, (SELECT avgdl FROM rav) avgdl, 2.0 wgt
+  FROM rtf t JOIN rdl l USING (doc_id)
+  WHERE t.term IN ('repo:spark', 'repo:src1')
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM q GROUP BY term),
+scored AS (
+  SELECT q.doc_id,
+         CASE WHEN q.term IN ('spark', 'repo:spark') THEN 0 ELSE 1 END AS gid,
+         q.wgt * ln(1.0 + ((SELECT n FROM ndocs) - d.df + 0.5) / (d.df + 0.5))
+           * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * q.dl / q.avgdl))
+           AS partial
+  FROM q JOIN dfq d USING (term)),
+agg AS (SELECT doc_id, sum(partial) score, count(DISTINCT gid) ng FROM scored
+        GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) score_e4 FROM agg
+WHERE ng = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
 """,
         # whole-field highlight: \b ≡ the engine's case-insensitive
         # alnum-boundary lookarounds on this [a-z0-9 .] corpus

@@ -158,6 +158,85 @@ class ParsedQuery:
         return len({gid for gs in self.groups for gid in gs})
 
 
+def parse_multifield(
+    text: str,
+    field_weights: dict[str, float],
+    cfg: EngineConfig | None = None,
+    synonyms: dict[str, list[str]] | None = None,
+) -> ParsedQuery:
+    """Multi-index weighted query (the reference's several search indexes
+    per collection queried together — core:ir.settings.IndexSetting [K];
+    Lucene MultiFieldQueryParser / edismax ``qf`` in its weighted-sum
+    form): every query word must match in AT LEAST ONE of the weighted
+    fields (AND across words, OR across fields within a word), and each
+    matching field contributes ``weight × BM25_field`` to the score.
+
+    Mechanically this is the flat grammar's synonym-group expansion with
+    field-qualified term keys: token *i* of a word forms one group whose
+    members are that token's key in every queried field; the field weight
+    rides the existing caret-boost channel (multiplies idf), and each
+    field-qualified term already normalizes against its own field's avgdl
+    in the kernel. Flat words only (no parens/phrases); ``-word`` negates
+    across all fields."""
+    cfg = cfg or EngineConfig()
+    for fld in field_weights:
+        if fld not in cfg.indexed_fields:
+            raise ValueError(
+                f"unknown search field {fld!r} (indexed: {cfg.indexed_fields})"
+            )
+    if not field_weights:
+        raise ValueError("field_weights must name at least one field")
+
+    terms: list[str] = []
+    groups: list[int] = []
+    boosts: dict[str, float] = {}
+    nterms: list[str] = []
+    gid = 0
+    for w in text.split():
+        neg = w.startswith("-") and len(w) > 1
+        if neg:
+            w = w[1:]
+        toks = tokenize_text(w, cfg)
+        if not toks:
+            raise ValueError(f"query word {w!r} analyzed to nothing")
+        for t in toks:
+            expanded = [t]
+            if synonyms and t in synonyms:
+                for s in synonyms[t]:
+                    expanded.extend(tokenize_text(s, cfg))
+            for fld, wgt in field_weights.items():
+                pref = "" if fld == "content" else f"{fld}:"
+                for et in expanded:
+                    key = pref + et
+                    if neg:
+                        nterms.append(key)
+                        continue
+                    terms.append(key)
+                    groups.append(gid)
+                    boosts[key] = max(float(wgt), boosts.get(key, 0.0))
+            gid += 1
+    if not terms:
+        raise ValueError("multifield query needs at least one positive word")
+    # order-preserving dedup with merged group credit (same rule as
+    # parse_query: a key reached twice must satisfy every group it's in)
+    seen: dict[str, int] = {}
+    dt: list[str] = []
+    dg: list[tuple[int, ...]] = []
+    for t, g in zip(terms, groups):
+        if t in seen:
+            if g not in dg[seen[t]]:
+                dg[seen[t]] = dg[seen[t]] + (g,)
+        else:
+            seen[t] = len(dt)
+            dt.append(t)
+            dg.append((g,))
+    nseen: set[str] = set()
+    nterms = [t for t in nterms if not (t in nseen or nseen.add(t))]
+    return ParsedQuery(
+        terms=dt, not_terms=nterms, op="AND", groups=dg, boosts=boosts
+    )
+
+
 def _split_boost(w: str) -> tuple[str, float | None]:
     """Strip a trailing caret boost: "spark^2.5" → ("spark", 2.5)."""
     import re as _re

@@ -18,7 +18,7 @@ from fastcatsearch3_spark.config import EngineConfig
 from fastcatsearch3_spark.index import IndexStore
 from fastcatsearch3_spark.operators import build as B
 from fastcatsearch3_spark.operators.ingest import load_documents
-from fastcatsearch3_spark.plans.query import parse_query
+from fastcatsearch3_spark.plans.query import parse_multifield, parse_query
 from fastcatsearch3_spark.plans.search import search_index
 
 CFG = EngineConfig(num_shards=4, indexed_fields=("content", "repo"))
@@ -104,6 +104,91 @@ def test_field_negation(spark, store, docs_pd):
     src = docs_pd.set_index("doc_id").loc[got["doc_id"], "repo"]
     assert (src != "src1").all()
     assert len(got) > 0
+
+
+def test_parse_multifield_structure():
+    pq = parse_multifield("spark src1", {"content": 1.0, "repo": 2.0}, CFG)
+    assert pq.terms == ["spark", "repo:spark", "src1", "repo:src1"]
+    # token i of each word forms ONE group spanning both fields
+    assert pq.groups == [(0,), (0,), (1,), (1,)]
+    assert pq.boosts == {
+        "spark": 1.0, "repo:spark": 2.0, "src1": 1.0, "repo:src1": 2.0,
+    }
+    neg = parse_multifield("spark -src1", {"content": 1.0, "repo": 2.0}, CFG)
+    assert neg.not_terms == ["src1", "repo:src1"]
+    with pytest.raises(ValueError, match="unknown search field"):
+        parse_multifield("spark", {"nosuch": 1.0}, CFG)
+
+
+def _multifield_oracle(
+    docs_pd: pd.DataFrame,
+    words: list[str],
+    weights: dict[str, float],
+    k1=1.2, b=0.75, k=10,
+) -> pd.DataFrame:
+    """Weighted-sum multifield BM25: each word must match in >=1 field;
+    every matching field contributes weight * BM25_field."""
+    n = len(docs_pd)
+    toks = {
+        "content": docs_pd["content"].map(_tok),
+        "repo": docs_pd["repo"].map(_tok),
+    }
+    avgdl = {f: sum(len(t) for t in s) / n for f, s in toks.items()}
+    scores: dict[int, float] = {}
+    matched: dict[int, set[int]] = {}
+    for gi, word in enumerate(words):
+        for fld, wgt in weights.items():
+            s = toks[fld]
+            tf = s.map(lambda t: t.count(word))
+            df = int((tf > 0).sum())
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for i in np.nonzero(tf.to_numpy())[0]:
+                dl = len(s.iloc[i])
+                v = wgt * idf * tf.iloc[i] * (k1 + 1) / (
+                    tf.iloc[i] + k1 * (1 - b + b * dl / avgdl[fld])
+                )
+                scores[i] = scores.get(i, 0.0) + v
+                matched.setdefault(i, set()).add(gi)
+    items = [
+        (int(docs_pd["doc_id"].iloc[i]), sc)
+        for i, sc in scores.items()
+        if len(matched[i]) == len(words)
+    ]
+    items.sort(key=lambda x: (-x[1], x[0]))
+    return pd.DataFrame(items[:k], columns=["doc_id", "score"])
+
+
+def test_multifield_rank_identical(spark, store, docs_pd):
+    weights = {"content": 1.0, "repo": 2.0}
+    got = search_index(
+        spark, store, parse_multifield("spark src1", weights, CFG), k=10
+    ).toPandas()
+    want = _multifield_oracle(docs_pd, ["spark", "src1"], weights)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), want["score"].to_numpy(), atol=1e-9
+    )
+    # "src1" can only match via the repo field on this corpus → AND gate
+    # must still pass through the cross-field group
+    src = docs_pd.set_index("doc_id").loc[got["doc_id"], "repo"]
+    assert (src == "src1").all()
+
+
+def test_multifield_weight_scales_score(spark, store, docs_pd):
+    """Doubling a field's weight doubles that field's contribution: for a
+    one-word query matching only in repo, scores scale exactly 2x."""
+    lo = search_index(
+        spark, store, parse_multifield("src1", {"repo": 1.0}, CFG), k=10
+    ).toPandas()
+    hi = search_index(
+        spark, store, parse_multifield("src1", {"repo": 2.0}, CFG), k=10
+    ).toPandas()
+    assert lo["doc_id"].tolist() == hi["doc_id"].tolist()
+    np.testing.assert_allclose(
+        hi["score"].to_numpy(), 2.0 * lo["score"].to_numpy(), atol=1e-9
+    )
 
 
 def test_unqualified_results_unchanged_by_field_indexing(spark, store, tmp_path_factory):
