@@ -542,6 +542,21 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    # nearest-neighbor resize of the fake-decoded byte image to a 4x3
+    # grid — whole-batch vectorized mapInPandas (no per-row Python);
+    # pixels exploded to scalar rows for the driver's value hash
+    return MM.resize(_docs(spark, sf_dir), out_w=4, out_h=3).select(
+        "doc_id", F.posexplode("pixels").alias("pix_idx", "pixel")
+    ).withColumn("pix_idx", F.col("pix_idx").cast("int"))
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    # video-style frame sampling: every 4th 64-byte frame with its length
+    # and byte checksum; rows ∝ n_frames/every, not n_frames
+    return MM.frame_sample(_docs(spark, sf_dir), frame_bytes=64, every=4)
+
+
 # ---------------------------------------------------------------------------
 # generic relational surface (SURVEY.md J-8, A-7, A-8, W-4, P-6, Q-5) over
 # the TPC-H-ish tables — "free" Spark built-ins, included for coverage
@@ -1162,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "binary_meta": _q_binary_meta,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         "join_revenue": _q_join_revenue,
         "distinct_users": _q_distinct_users,
         "rollup_counts": _q_rollup_counts,
@@ -1682,6 +1699,33 @@ w AS (SELECT doc_id, n,
 SELECT doc_id, 'text' AS modality, n AS n_bytes,
        CAST(w AS INT) AS width, CAST((n + w - 1) // w AS INT) AS height
 FROM w
+""",
+        # resize: nearest-neighbor sample of the stub byte image (width =
+        # floor(sqrt(n)), row-major, clamped at n-1); text is ASCII so
+        # ord(substr(text, i+1, 1)) IS byte i of the payload
+        "multimodal_resize": """
+WITH b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) n FROM documents),
+g AS (SELECT doc_id, text, n,
+        greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) w
+      FROM b),
+gh AS (SELECT doc_id, text, n, w, (n + w - 1) // w AS h FROM g)
+SELECT doc_id, CAST(i AS INT) pix_idx,
+       CAST(ord(substr(text,
+         CAST(least(((i // 4) * h // 3) * w + ((i % 4) * w // 4), n - 1) AS INT)
+           + 1, 1)) AS INT) AS pixel
+FROM gh CROSS JOIN range(0, 12) t(i)
+""",
+        # frame sampling: every 4th 64-byte frame, length + byte checksum
+        "multimodal_frames": """
+WITH b AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) n FROM documents),
+u AS (SELECT doc_id, text, n, unnest(range(0, (n + 63) // 64, 4)) AS fi FROM b),
+s AS (SELECT doc_id, text, CAST(fi AS INT) frame_idx,
+        fi * 64 AS fs, least(fi * 64 + 64, n) AS fe
+      FROM u)
+SELECT doc_id, frame_idx, CAST(fe - fs AS INT) AS frame_len,
+  CAST(list_sum(list_transform(range(fs, fe),
+    j -> ord(substr(text, CAST(j AS INT) + 1, 1)))) AS BIGINT) AS byte_sum
+FROM s
 """,
         "join_revenue": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) n_orders,"

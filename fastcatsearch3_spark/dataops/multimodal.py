@@ -131,6 +131,104 @@ def _raw_batch_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+RESIZE_SCHEMA = "doc_id bigint, out_w int, out_h int, pixels array<int>"
+
+
+def resize(docs: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """Nearest-neighbor resize of the fake-decoded byte image to a fixed
+    (out_w × out_h) grid — the multimodal pipeline's image-resize stage.
+    The source 'image' is the decode stub's (width, height) byte matrix
+    (width = ⌊√n⌋, row-major, last row ragged); sampling clamps into the
+    payload like a real resampler clamps at the image border. The kernel
+    is whole-batch vectorized: one gather per batch, no per-row Python.
+    A real codec's resize plugs in behind the same (payload → pixel grid)
+    signature."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize target must be at least 1x1")
+    b = attach_binary(docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter((len(x) for x in bufs), np.int64, count=len(bufs))
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            width = np.maximum(np.sqrt(lens.astype(np.float64)).astype(np.int64), 1)
+            height = (lens + width - 1) // width
+            # (R, out_h) source rows and (R, out_w) source cols
+            r_src = (np.arange(out_h, dtype=np.int64)[None, :] * height[:, None]) // out_h
+            c_src = (np.arange(out_w, dtype=np.int64)[None, :] * width[:, None]) // out_w
+            idx = r_src[:, :, None] * width[:, None, None] + c_src[:, None, :]
+            idx = np.minimum(idx, np.maximum(lens - 1, 0)[:, None, None])
+            px = flat[(starts[:, None, None] + idx).reshape(len(bufs), -1)] if flat.size else np.zeros((len(bufs), out_h * out_w), np.uint8)
+            px = px.reshape(len(bufs), -1).astype(np.int32)
+            px[lens == 0] = 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "out_w": np.int32(out_w),
+                    "out_h": np.int32(out_h),
+                    "pixels": list(px),
+                }
+            )
+
+    return b.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_len int, byte_sum bigint"
+)
+
+
+def frame_sample(
+    docs: DataFrame, frame_bytes: int = 64, every: int = 4
+) -> DataFrame:
+    """Video-style frame sampling over the opaque payload: the byte stream
+    is cut into fixed-size frames and every ``every``-th frame is emitted
+    with its length and byte checksum (the stub's stand-in for a decoded
+    frame feature). One row per SAMPLED frame — the explode happens after
+    sampling, so row amplification is n_frames/every, not n_frames.
+    Ragged per-row frame counts are handled with repeat/cumsum indexing —
+    no per-row Python loop; a real demuxer plugs in behind the same
+    (payload → frames) signature."""
+    if frame_bytes < 1 or every < 1:
+        raise ValueError("frame_bytes and every must be >= 1")
+    b = attach_binary(docs)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bufs = [bytes(p) for p in pdf["payload"]]
+            lens = np.fromiter((len(x) for x in bufs), np.int64, count=len(bufs))
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            cs = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
+            n_frames = (lens + frame_bytes - 1) // frame_bytes
+            counts = (n_frames + every - 1) // every  # sampled per row
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            row = np.repeat(np.arange(len(bufs), dtype=np.int64), counts)
+            offs = np.concatenate(([0], np.cumsum(counts[:-1])))
+            ordinal = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+            fi = ordinal * every
+            fstart = starts[row] + fi * frame_bytes
+            fend = np.minimum(fstart + frame_bytes, starts[row] + lens[row])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64)[row],
+                    "frame_idx": fi.astype(np.int32),
+                    "frame_len": (fend - fstart).astype(np.int32),
+                    "byte_sum": cs[fend] - cs[fstart],
+                }
+            )
+
+    return b.mapInPandas(kernel, FRAME_SCHEMA)
+
+
 def extract_features(
     docs: DataFrame, kind: str = "raw", batch_limit: int | None = None
 ) -> DataFrame:

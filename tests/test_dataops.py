@@ -139,6 +139,47 @@ def test_multimodal_missing_codec_raises(spark, docs):
         MM.extract_features(docs.limit(1), kind="image").collect()
 
 
+def test_multimodal_resize_matches_pointwise(spark, docs):
+    """Vectorized nearest-neighbor resize == a per-row python resampler."""
+    out = MM.resize(docs.limit(15), out_w=4, out_h=3).toPandas()
+    src = docs.limit(15).select("doc_id", "text").toPandas()
+    by_id = dict(zip(src["doc_id"], src["text"]))
+    assert len(out) == 15
+    for _, r in out.iterrows():
+        buf = by_id[r["doc_id"]].encode("utf-8")
+        n = len(buf)
+        w = max(int(np.sqrt(n)), 1)
+        h = (n + w - 1) // w
+        want = [
+            buf[min((ro * h // 3) * w + (co * w // 4), n - 1)]
+            for ro in range(3)
+            for co in range(4)
+        ]
+        assert list(r["pixels"]) == want
+
+
+def test_multimodal_resize_empty_payload(spark):
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "abcdef")], "doc_id long, text string"
+    )
+    out = MM.resize(empty, out_w=2, out_h=2).toPandas().set_index("doc_id")
+    assert list(out.loc[1, "pixels"]) == [0, 0, 0, 0]
+    assert all(p > 0 for p in out.loc[2, "pixels"])
+
+
+def test_multimodal_frame_sample(spark, docs):
+    """Every 3rd 50-byte frame; sums and lengths match a python cut."""
+    out = MM.frame_sample(docs.limit(10), frame_bytes=50, every=3).toPandas()
+    src = docs.limit(10).select("doc_id", "text").toPandas()
+    for _, s in src.iterrows():
+        buf = s["text"].encode("utf-8")
+        frames = [buf[i : i + 50] for i in range(0, len(buf), 50)][::3]
+        got = out[out["doc_id"] == s["doc_id"]].sort_values("frame_idx")
+        assert got["frame_idx"].tolist() == list(range(0, 3 * len(frames), 3))
+        assert got["frame_len"].tolist() == [len(f) for f in frames]
+        assert got["byte_sum"].tolist() == [sum(f) for f in frames]
+
+
 def test_near_dup_clusters_transitive(spark):
     """A~B and B~C near-dups (A never banded with C directly) must land in
     ONE cluster labelled min(doc_id); unrelated docs stay singletons."""
