@@ -39,7 +39,11 @@ from fastcatsearch3_spark.plans.query import (
     parse_multifield,
     parse_query,
 )
-from fastcatsearch3_spark.plans.search import match_doc_ids, search_index
+from fastcatsearch3_spark.plans.search import (
+    match_doc_ids,
+    search_collections,
+    search_index,
+)
 
 CFG = EngineConfig()
 
@@ -74,18 +78,26 @@ def _source_fingerprint(sf_dir: str) -> str:
 
 
 def _packed_store(
-    spark: SparkSession, sf_dir: str, cfg: EngineConfig = CFG, tag: str = ""
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = CFG, tag: str = "",
+    where: str | None = None,
 ) -> IndexStore:
     """Build (or resume) the packed index for a testdata dir.
 
     Cached on disk keyed by (sf_dir, source fingerprint, engine config,
-    tag); ``build_index`` is manifest-resumable, so a warm cache skips all
-    heavy work (I-8)."""
-    key = hashlib.sha256(
-        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{sorted(cfg.to_dict().items())}|{tag}".encode()
-    ).hexdigest()[:16]
+    tag[, corpus predicate]); ``build_index`` is manifest-resumable, so a
+    warm cache skips all heavy work (I-8). ``where`` builds a sub-
+    collection over a corpus slice (multi-collection scenarios)."""
+    key_src = (
+        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{sorted(cfg.to_dict().items())}|{tag}"
+    )
+    if where is not None:
+        key_src += f"|{where}"
+    key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
     root = Path(tempfile.gettempdir()) / "fcs3_index_cache" / key
-    build_index(spark, _corpus(spark, sf_dir), str(root), cfg, resume=True)
+    corpus = _corpus(spark, sf_dir)
+    if where is not None:
+        corpus = corpus.where(where)
+    build_index(spark, corpus, str(root), cfg, resume=True)
     return IndexStore(str(root))
 
 
@@ -102,7 +114,8 @@ def _bm25_sql(terms: list[str], op: str, k: int, not_terms: list[str] | None = N
               order_raw: bool = False, msm: int | None = None,
               extra_where: str | None = None, offset: int = 0,
               src: str = "documents", prelude: str = "",
-              boosts: dict[str, float] | None = None) -> str:
+              boosts: dict[str, float] | None = None,
+              select_cols: str = "doc_id, score_e4") -> str:
     """DuckDB BM25 oracle (same formula/constants as EngineConfig).
     ``msm``: minimum-should-match gate (nt >= msm) instead of the AND gate;
     ``extra_where``: doc-level predicate appended to the gate (mirrors the
@@ -157,7 +170,7 @@ scored AS (
 agg AS (SELECT doc_id, sum(partial) AS score, count(*) AS nt FROM scored GROUP BY doc_id),
 final AS (SELECT doc_id, score, CAST(round(score * 10000) AS BIGINT) AS score_e4
           FROM agg {gate})
-SELECT doc_id, score_e4 FROM final {order} LIMIT {k}{off}
+SELECT {select_cols} FROM final {order} LIMIT {k}{off}
 """
 
 
@@ -857,6 +870,20 @@ def _q_bm25_multifield(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_search_collections(spark, sf_dir):
+    # federated multi-collection search (cn=en,rest): two sub-collections
+    # built over disjoint lang slices, each scored with ITS OWN stats
+    # (per-collection df/N/avgdl, the reference's per-node scoring), then
+    # a result-sized global top-k merge
+    en = _packed_store(spark, sf_dir, tag="coll", where="lang = 'en'")
+    rest = _packed_store(spark, sf_dir, tag="coll", where="lang <> 'en'")
+    hits = search_collections(
+        spark, {"en": en, "rest": rest},
+        ParsedQuery(terms=_Q_AND2, op="AND"), k=_K,
+    )
+    return hits.select("collection", "doc_id", _e4())
+
+
 def _q_search_highlight(spark, sf_dir):  # F-7 whole-field highlight of top-k
     store = _packed_store(spark, sf_dir)
     hits = search_index(spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), k=_K)
@@ -1192,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": _q_bm25_phrase,
         "bm25_field": _q_bm25_field,
         "bm25_multifield": _q_bm25_multifield,
+        "search_collections": _q_search_collections,
         "search_highlight": _q_search_highlight,
         "source_csv": _q_source_csv,
         "source_json": _q_source_json,
@@ -1915,6 +1943,22 @@ agg AS (SELECT doc_id, sum(partial) score, count(DISTINCT gid) ng FROM scored
         GROUP BY doc_id)
 SELECT doc_id, CAST(round(score * 10000) AS BIGINT) score_e4 FROM agg
 WHERE ng = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # federated multi-collection merge: each lang slice is its own
+        # corpus with its own stats; raw scores merge before rounding so
+        # the k-boundary matches the engine's merge exactly
+        "search_collections": f"""
+SELECT collection, doc_id, score_e4 FROM (
+  SELECT 'en' AS collection, doc_id, score, score_e4 FROM ({_bm25_sql(
+      _Q_AND2, "AND", _K, order_raw=True, src="den",
+      prelude="den AS (SELECT * FROM documents WHERE lang = 'en'), ",
+      select_cols="doc_id, score, score_e4")})
+  UNION ALL
+  SELECT 'rest' AS collection, doc_id, score, score_e4 FROM ({_bm25_sql(
+      _Q_AND2, "AND", _K, order_raw=True, src="drest",
+      prelude="drest AS (SELECT * FROM documents WHERE lang <> 'en'), ",
+      select_cols="doc_id, score, score_e4")})
+) ORDER BY score DESC, doc_id ASC LIMIT {_K}
 """,
         # whole-field highlight: \b ≡ the engine's case-insensitive
         # alnum-boundary lookarounds on this [a-z0-9 .] corpus

@@ -968,6 +968,37 @@ def search_collapse(
     )
 
 
+def search_collections(
+    spark: SparkSession,
+    stores: dict[str, object],  # name -> IndexStore
+    query: str | ParsedQuery,
+    k: int = 10,
+    mode: str = "bmw",
+    **kw,
+) -> DataFrame:
+    """Federated multi-collection search — the reference's multi-collection
+    request (``cn=c1,c2``) fanned out by ClusterSearchJob and merged on the
+    master (server:…job.ClusterSearchJob [K], SURVEY.md Q-6 one level up).
+
+    Each collection is searched against its OWN index and statistics
+    (per-collection df/N/avgdl — exactly the reference's per-node scoring;
+    scores are NOT re-normalized across collections), hits carry the
+    collection name, and the per-collection top-k lists merge into a
+    global (score desc, doc_id asc) top-k. The merge input is at most
+    ``len(stores) × k`` rows — the same result-sized master merge the
+    reference does, so it costs nothing at any corpus scale."""
+    if not stores:
+        raise ValueError("search_collections needs at least one store")
+    out: DataFrame | None = None
+    for name, store in stores.items():
+        hits = search_index(spark, store, query, k=k, mode=mode, **kw)
+        hits = hits.select(
+            F.lit(name).alias("collection"), "doc_id", "score"
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def _hydrate(
     spark: SparkSession, store, out: DataFrame, hydrate: bool,
     corpus_df: DataFrame | None,

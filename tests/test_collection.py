@@ -21,6 +21,43 @@ def _pdf(rows):
     )
 
 
+def test_search_collections_federated_merge(spark, tmp_path):
+    """cn=a,b: per-collection stats stay independent; the global top-k is
+    exactly the (score desc, doc_id) merge of the per-collection top-k."""
+    from fastcatsearch3_spark.plans.search import (
+        search_collections,
+        search_index,
+    )
+
+    cfg = EngineConfig(num_shards=2)
+    ca = Collection(spark, str(tmp_path / "a"), cfg)
+    cb = Collection(spark, str(tmp_path / "b"), cfg)
+    ca.build(normalize_corpus(spark.createDataFrame(_pdf(
+        [(1, "spark merge table"), (2, "spark merge merge"), (3, "other")]
+    ))))
+    cb.build(normalize_corpus(spark.createDataFrame(_pdf(
+        [(11, "spark merge"), (12, "spark text merge plan")]
+    ))))
+    got = search_collections(
+        spark, {"a": ca.store, "b": cb.store}, "spark merge", k=3
+    ).toPandas()
+    ra = search_index(spark, ca.store, "spark merge", k=3).toPandas()
+    rb = search_index(spark, cb.store, "spark merge", k=3).toPandas()
+    ra["collection"], rb["collection"] = "a", "b"
+    want = (
+        pd.concat([ra, rb])
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(3)
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["collection"].tolist() == want["collection"].tolist()
+    assert (got["score"].to_numpy() == want["score"].to_numpy()).all()
+    # doc 11's short collection-b corpus gives different stats than a's —
+    # both collections must appear in the merged list for this query
+    assert set(got["collection"]) == {"a", "b"}
+
+
 def test_collection_lifecycle(spark, tmp_path):
     col = Collection(spark, str(tmp_path / "idx"), EngineConfig(num_shards=2))
     base = normalize_corpus(
