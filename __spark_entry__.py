@@ -543,6 +543,12 @@ def _q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir), CFG)
 
 
+def _q_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition quality signals (top-bigram share, duplicate
+    # trigram fraction) — two hash aggregates over the shingle stream
+    return TS.repetition_stats(_docs(spark, sf_dir), CFG)
+
+
 def _q_binary_meta(spark, sf_dir):
     return MM.binary_meta(_docs(spark, sf_dir))
 
@@ -1201,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
+        "repetition_stats": _q_repetition_stats,
         "doc_fingerprint": _q_fingerprint,
         "binary_meta": _q_binary_meta,
         "multimodal_features": _q_multimodal_features,
@@ -1701,6 +1708,30 @@ FROM documents
         ),
         "lang_id": _lang_id_sql(),
         "quality_score": _QUALITY_SQL,
+        # repetition signals: per-doc (doc_id, n-gram) counts then rollup —
+        # docs need >= n tokens (the engine's shingle guard)
+        "repetition_stats": """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') arr
+             FROM documents),
+bi AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+         i -> arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1])) sh
+       FROM tok WHERE len(arr) >= 2),
+bic AS (SELECT doc_id, sh, count(*) c FROM bi GROUP BY doc_id, sh),
+bia AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_bigrams, max(c) top
+        FROM bic GROUP BY doc_id),
+tri AS (SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+          i -> arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1]
+               || ' ' || arr[CAST(i AS INT) + 2])) sh
+        FROM tok WHERE len(arr) >= 3),
+tric AS (SELECT doc_id, sh, count(*) c FROM tri GROUP BY doc_id, sh),
+tria AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tri,
+                CAST(count(*) AS BIGINT) n_dist FROM tric GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+  CAST(round(top * 10000.0 / n_bigrams) AS BIGINT) top_bigram_frac_e4,
+  CAST(round((1.0 - n_dist * 1.0 / n_tri) * 10000) AS BIGINT)
+    dup_trigram_frac_e4
+FROM bia JOIN tria USING (doc_id)
+""",
         "doc_fingerprint": f"""
 WITH sh AS ({_SH}),
 ranked AS (

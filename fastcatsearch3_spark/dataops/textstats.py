@@ -144,6 +144,55 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     return out.select("doc_id", scrubbed.alias("text"), "n_pii")
 
 
+def repetition_stats(
+    docs: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """(doc_id, n_bigrams, top_bigram_frac_e4, dup_trigram_frac_e4):
+    Gopher-style repetition quality signals —
+      top_bigram_frac  = occurrences of the most frequent word 2-gram
+                         / total 2-grams
+      dup_trigram_frac = 1 − distinct 3-grams / total 3-grams
+    High values flag boilerplate / degenerate repetition. Shape at scale:
+    each signal is ONE hash aggregate on (doc_id, shingle) with map-side
+    combine (rows ∝ document tokens, same class as the index build's tf
+    pass), then a per-doc rollup — no joins wider than doc_id."""
+    cfg = cfg or EngineConfig()
+    from fastcatsearch3_spark.dataops.dedup import shingles
+
+    bi = (
+        shingles(docs, cfg, n=2, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("top_bigram"),
+        )
+    )
+    tri = (
+        shingles(docs, cfg, n=3, distinct=False)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_trigrams"),
+            F.count("*").cast("long").alias("n_distinct_tri"),
+        )
+    )
+    return bi.join(tri, "doc_id").select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("top_bigram") / F.col("n_bigrams") * 10000)
+        .cast("long")
+        .alias("top_bigram_frac_e4"),
+        F.round(
+            (1.0 - F.col("n_distinct_tri") / F.col("n_trigrams")) * 10000
+        )
+        .cast("long")
+        .alias("dup_trigram_frac_e4"),
+    )
+
+
 def fingerprint(docs: DataFrame, cfg: EngineConfig | None = None,
                 n: int = 3, k: int = FINGERPRINT_K) -> DataFrame:
     """(doc_id, fingerprint): k-min sketch — md5 of the k smallest

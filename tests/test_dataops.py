@@ -139,6 +139,25 @@ def test_multimodal_missing_codec_raises(spark, docs):
         MM.extract_features(docs.limit(1), kind="image").collect()
 
 
+def test_repetition_stats_planted(spark):
+    """'a b a b a b' : bigrams [ab,ba,ab,ba,ab] → top 3/5; trigrams
+    [aba,bab,aba,bab] → 2 distinct of 4 → dup 1/2. A no-repeat doc
+    scores 0 dup and 1/total top share."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "w x y z q r")],
+        "doc_id long, text string",
+    )
+    out = (
+        TS.repetition_stats(docs).toPandas().set_index("doc_id")
+    )
+    assert out.loc[1, "n_bigrams"] == 5
+    assert out.loc[1, "top_bigram_frac_e4"] == 6000
+    assert out.loc[1, "dup_trigram_frac_e4"] == 5000
+    assert out.loc[2, "n_bigrams"] == 5
+    assert out.loc[2, "top_bigram_frac_e4"] == 2000
+    assert out.loc[2, "dup_trigram_frac_e4"] == 0
+
+
 def test_multimodal_resize_matches_pointwise(spark, docs):
     """Vectorized nearest-neighbor resize == a per-row python resampler."""
     out = MM.resize(docs.limit(15), out_w=4, out_h=3).toPandas()
