@@ -22,6 +22,8 @@ already owns the logic (and its tests/oracles).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 
 from fastcatsearch3_spark.config import EngineConfig
@@ -32,10 +34,22 @@ class Collection:
     def __init__(
         self, spark: SparkSession, index_root: str,
         cfg: EngineConfig | None = None,
+        cache_size: int = 0,
     ):
+        """``cache_size`` > 0 enables the search-result cache — the
+        reference caches search results per collection and drops them on
+        indexing events (server search-cache service [M]). Keyed by
+        (index epoch, query, k, kwargs); an append/delete/compact changes
+        ``IndexStore.epoch()`` so stale entries can never be served. Only
+        plain-text/ParsedQuery lookups cache; calls passing DataFrame
+        arguments (allow lists, corpus) bypass it."""
         self.spark = spark
         self.root = str(index_root)
         self._cfg = cfg
+        self.cache_size = int(cache_size)
+        self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self.cache_hits = 0
+        self.cache_misses = 0
 
     @property
     def cfg(self) -> EngineConfig:
@@ -70,7 +84,28 @@ class Collection:
     def search(self, query, k: int = 10, **kw) -> DataFrame:
         from fastcatsearch3_spark.plans.search import search_index
 
-        return search_index(self.spark, self.store, query, k=k, **kw)
+        cacheable = self.cache_size > 0 and all(
+            not isinstance(v, DataFrame) for v in kw.values()
+        )
+        if not cacheable:
+            return search_index(self.spark, self.store, query, k=k, **kw)
+        key = (
+            self.store.epoch(), repr(query), k,
+            tuple(sorted(kw.items(), key=lambda x: x[0])),
+        )
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            self.cache_hits += 1
+            schema, rows = hit
+            return self.spark.createDataFrame(rows, schema=schema)
+        self.cache_misses += 1
+        out = search_index(self.spark, self.store, query, k=k, **kw)
+        rows = out.collect()  # ≤ k result rows — never O(corpus)
+        self._cache[key] = (out.schema, rows)
+        while len(self._cache) > self.cache_size:
+            self._cache.popitem(last=False)
+        return self.spark.createDataFrame(rows, schema=out.schema)
 
     def match(self, query, **kw) -> DataFrame:
         from fastcatsearch3_spark.plans.search import match_doc_ids

@@ -144,6 +144,30 @@ class IndexStore:
                     shutil.rmtree(p, ignore_errors=True)
         return spark.read.parquet(str(out))
 
+    def epoch(self) -> str:
+        """Cheap index-version token: changes whenever a build / append /
+        delete / compact publishes (stats.json mtime, segment set, deletes
+        listing). Keys per-epoch materializations (denied mask) and the
+        Collection search cache — the reference invalidates its search
+        cache the same way, on collection index events [M]."""
+        import hashlib
+
+        parts = [
+            str(Path(self._p("stats.json")).stat().st_mtime_ns),
+            ",".join(map(str, self.segments())),
+        ]
+        if self.has_deletes():
+            parts.append(
+                "|".join(
+                    sorted(
+                        f"{p.name}:{p.stat().st_size}"
+                        for p in Path(self._p("deletes")).iterdir()
+                        if p.is_file() and not p.name.startswith(("_", "."))
+                    )
+                )
+            )
+        return hashlib.sha256("||".join(parts).encode()).hexdigest()[:16]
+
     def segments(self) -> list[int]:
         base = Path(self._p("postings"))
         if not base.exists():

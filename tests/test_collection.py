@@ -21,6 +21,32 @@ def _pdf(rows):
     )
 
 
+def test_search_cache_hits_and_epoch_invalidation(spark, tmp_path):
+    """Same query twice = one real search; an append changes the index
+    epoch, so the third call misses; results stay identical throughout."""
+    col = Collection(
+        spark, str(tmp_path / "idx"), EngineConfig(num_shards=2),
+        cache_size=8,
+    )
+    col.build(normalize_corpus(spark.createDataFrame(_pdf(
+        [(1, "spark merge table"), (2, "slow merge line")]
+    ))))
+    r1 = col.search("spark merge", k=5).collect()
+    r2 = col.search("spark merge", k=5).collect()
+    assert col.cache_misses == 1 and col.cache_hits == 1
+    assert [(r["doc_id"], r["score"]) for r in r1] == [
+        (r["doc_id"], r["score"]) for r in r2
+    ]
+    col.append(spark.createDataFrame(_pdf([(3, "spark merge value")])))
+    r3 = col.search("spark merge", k=5).collect()
+    assert col.cache_misses == 2  # epoch changed → stale entry unreachable
+    assert {r["doc_id"] for r in r3} == {1, 3}
+    # DataFrame-valued kwargs bypass the cache entirely
+    allow = spark.createDataFrame([(1,)], "doc_id long")
+    col.search("spark merge", k=5, allow_doc_ids=allow).collect()
+    assert col.cache_misses == 2 and len(col._cache) == 2
+
+
 def test_search_collections_federated_merge(spark, tmp_path):
     """cn=a,b: per-collection stats stay independent; the global top-k is
     exactly the (score desc, doc_id) merge of the per-collection top-k."""
