@@ -561,6 +561,33 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    # cross-corpus dedup of a synthetic ingest batch against the corpus:
+    # exact copies (%13, relabeled), near copies (%17, suffix appended),
+    # novel rows (%19) that must NOT match. Deterministic in doc_id so
+    # DuckDB replays the same batch.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    b2 = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra words appended here")).alias(
+            "text"
+        ),
+    )
+    b3 = docs.where(F.col("doc_id") % 19 == 1).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.lit("completely novel content row "),
+            F.col("doc_id").cast("string"),
+            F.lit(" padding tokens"),
+        ).alias("text"),
+    )
+    batch = b1.unionByName(b2).unionByName(b3)
+    return D.dedup_against(docs, batch, CFG)
+
+
 def _q_multimodal_resize(spark, sf_dir):
     # nearest-neighbor resize of the fake-decoded byte image to a 4x3
     # grid — whole-batch vectorized mapInPandas (no per-row Python);
@@ -1198,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_incremental": _q_dedup_incremental,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "tf_code_identifiers": _q_tf_code_identifiers,
@@ -1306,6 +1334,86 @@ cand AS (
 SELECT j.doc_a, j.doc_b, j.jaccard_e4
 FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 ORDER BY j.jaccard_e4 DESC, j.doc_a ASC, j.doc_b ASC LIMIT 50
+"""
+
+
+def _dedup_incremental_sql() -> str:
+    """Cross-corpus dedup oracle: replays the deterministic batch, the
+    text-equality exact join (≡ sha256 equality), the md5-minhash banding
+    against the base band table (rest batch docs only, like the engine),
+    and candidate-restricted cross Jaccard with best-match selection."""
+    def sigs(key: str) -> str:
+        return ", ".join(
+            f"min(md5('{i}:' || shingle)) sig_{i}" for i in range(D.NUM_HASHES)
+        )
+
+    rows = D.NUM_HASHES // D.BANDS
+
+    def bands(src: str, key: str) -> str:
+        return " UNION ALL ".join(
+            "SELECT {key}, {b} band, md5({cat}) band_key FROM {src}".format(
+                key=key, src=src, b=b,
+                cat=" || ".join(f"sig_{b * rows + r}" for r in range(rows)),
+            )
+            for b in range(D.BANDS)
+        )
+
+    shingle_expr = (
+        "unnest(list_transform(range(1, len(arr) - 1), i -> "
+        "arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || "
+        "arr[CAST(i AS INT) + 2]))"
+    )
+    return f"""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra words appended here'
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, 'completely novel content row '
+    || CAST(doc_id AS VARCHAR) || ' padding tokens'
+  FROM documents WHERE doc_id % 19 = 1
+),
+exact AS (
+  SELECT b.doc_id, CAST(min(d.doc_id) AS BIGINT) match_id
+  FROM batch b JOIN documents d ON b.text = d.text
+  GROUP BY b.doc_id),
+rest AS (SELECT * FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+tb AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') arr
+       FROM rest),
+shb AS (SELECT DISTINCT doc_id, {shingle_expr} shingle
+        FROM tb WHERE len(arr) >= 3),
+td AS (SELECT doc_id AS match_id,
+              regexp_extract_all(lower(text), '[a-z0-9]+') arr
+       FROM documents),
+shd AS (SELECT DISTINCT match_id, {shingle_expr} shingle
+        FROM td WHERE len(arr) >= 3),
+sigb AS (SELECT doc_id, {sigs('doc_id')} FROM shb GROUP BY doc_id),
+sigd AS (SELECT match_id, {sigs('match_id')} FROM shd GROUP BY match_id),
+bb AS ({bands('sigb', 'doc_id')}),
+bd AS ({bands('sigd', 'match_id')}),
+cand AS (SELECT DISTINCT bb.doc_id, bd.match_id
+         FROM bb JOIN bd USING (band, band_key)),
+szb AS (SELECT doc_id, count(*) sz FROM shb GROUP BY doc_id),
+szd AS (SELECT match_id, count(*) sz FROM shd GROUP BY match_id),
+inter AS (SELECT c.doc_id, c.match_id, count(*) i
+          FROM cand c
+          JOIN shb a ON a.doc_id = c.doc_id
+          JOIN shd b2 ON b2.match_id = c.match_id AND b2.shingle = a.shingle
+          GROUP BY c.doc_id, c.match_id),
+near AS (SELECT i.doc_id, i.match_id,
+                i.i * 1.0 / (szb.sz + szd.sz - i.i) j
+         FROM inter i JOIN szb USING (doc_id) JOIN szd USING (match_id)
+         WHERE i.i * 1.0 / (szb.sz + szd.sz - i.i) >= 0.5),
+best AS (SELECT doc_id, match_id, j, row_number() OVER (
+           PARTITION BY doc_id ORDER BY j DESC, match_id ASC) rn
+         FROM near)
+SELECT doc_id, match_id, 'exact' AS kind, CAST(10000 AS BIGINT) jaccard_e4
+FROM exact
+UNION ALL
+SELECT doc_id, CAST(match_id AS BIGINT), 'near',
+       CAST(round(j * 10000) AS BIGINT)
+FROM best WHERE rn = 1
 """
 
 
@@ -1671,6 +1779,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM jac ORDER BY jaccard_e4 DESC, doc_a ASC, doc_b ASC LIMIT 50"
         ),
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_incremental": _dedup_incremental_sql(),
         "dedup_clusters": _clusters_sql(),
         "dedup_simhash": _simhash_sql(),
         # F-4: camelCase/snake split — the engine's lookaround boundaries

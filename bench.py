@@ -173,6 +173,20 @@ def main() -> None:
         ).collect()
         timings["q_collapse"] = round(time.monotonic() - t0, 3)
 
+        # --- text/multimodal pipeline ops ------------------------------
+        from fastcatsearch3_spark.dataops import multimodal as MMOD
+        from fastcatsearch3_spark.dataops import textstats as TSTAT
+
+        t0 = time.monotonic()
+        TSTAT.repetition_stats(docs, cfg).count()
+        timings["repetition_stats"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        MMOD.resize(docs, out_w=4, out_h=3).count()
+        timings["multimodal_resize"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        MMOD.frame_sample(docs, frame_bytes=64, every=4).count()
+        timings["multimodal_frames"] = round(time.monotonic() - t0, 3)
+
         # --- curation dataops ------------------------------------------
         from fastcatsearch3_spark.dataops import curation as CU
 

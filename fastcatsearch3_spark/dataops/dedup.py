@@ -281,6 +281,129 @@ def _lsh_verified(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def dedup_against(
+    base: DataFrame,
+    batch: DataFrame,
+    cfg: EngineConfig | None = None,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental (cross-corpus) dedup: flag BATCH docs that duplicate
+    the BASE corpus, never re-deduping the base itself — the daily-ingest
+    shape at 100 TB (the curated store is deduped once; every new crawl
+    probes it). Output one row per duplicated batch doc:
+    (doc_id, match_id, kind, jaccard_e4) — ``match_id`` = smallest
+    matching base doc; kind 'exact' (sha256 equality, jaccard_e4=10000)
+    or 'near' (banded-MinHash candidate against the base's band table,
+    verified cross-corpus Jaccard ≥ ``min_jaccard``, best match by
+    (jaccard desc, match_id asc)). Batch docs that exact-match skip the
+    near path.
+
+    Scale shape: exact = one equi-join on the content hash (output ∝
+    batch); near = the batch's band rows equi-joined against the base
+    band relation — in production base signatures/bands are a persisted
+    per-epoch artifact (built once, like the index), so per-ingest cost
+    ∝ batch + candidates, never ∝ base. Verification semi-joins both
+    shingle relations down to candidate docs first (same discipline as
+    ``_lsh_verified``: cost ∝ candidates)."""
+    cfg = cfg or EngineConfig()
+    rows = num_hashes // bands
+
+    exact = (
+        batch.select("doc_id", F.sha2("text", 256).alias("sha"))
+        .join(
+            base.select(
+                F.col("doc_id").alias("match_id"), F.sha2("text", 256).alias("sha")
+            ),
+            "sha",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("match_id").alias("match_id"))
+        .select(
+            "doc_id",
+            "match_id",
+            F.lit("exact").alias("kind"),
+            F.lit(10000).cast("long").alias("jaccard_e4"),
+        )
+        .localCheckpoint(eager=False)  # read twice (output + anti-join)
+    )
+    rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
+
+    def _bands_of(docs: DataFrame) -> DataFrame:
+        sig = minhash_signatures(docs, cfg, n, num_hashes)
+        parts = []
+        for bd in range(bands):
+            cols = [F.col(f"sig_{bd * rows + r}") for r in range(rows)]
+            parts.append(
+                sig.select(
+                    "doc_id",
+                    F.lit(bd).alias("band"),
+                    F.md5(F.concat(*cols)).alias("band_key"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    cand = (
+        _bands_of(rest)
+        .join(
+            _bands_of(base).select(
+                "band", "band_key", F.col("doc_id").alias("match_id")
+            ),
+            ["band", "band_key"],
+        )
+        .select("doc_id", "match_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sh_rest = shingles(rest, cfg, n).join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
+    )
+    sh_base = (
+        shingles(base, cfg, n)
+        .withColumnRenamed("doc_id", "match_id")
+        .join(
+            F.broadcast(cand.select("match_id").distinct()),
+            "match_id",
+            "left_semi",
+        )
+    )
+    sets_rest = sh_rest.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("set_a")
+    )
+    sets_base = sh_base.groupBy("match_id").agg(
+        F.collect_set("shingle").alias("set_b")
+    )
+    near = (
+        sets_rest.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(sets_base), "match_id")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("set_a") + F.size("set_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("jaccard"), (-F.col("match_id")).alias("nid"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            (-F.col("m.nid")).cast("long").alias("match_id"),
+            F.lit("near").alias("kind"),
+            F.round(F.col("m.jaccard") * 10000).cast("long").alias("jaccard_e4"),
+        )
+    )
+    return exact.unionByName(near)
+
+
 def near_dup_clusters(
     docs: DataFrame,
     cfg: EngineConfig | None = None,

@@ -139,6 +139,35 @@ def test_multimodal_missing_codec_raises(spark, docs):
         MM.extract_features(docs.limit(1), kind="image").collect()
 
 
+def test_dedup_against_planted(spark):
+    """Exact copy → 'exact'; long doc with 2 appended words → 'near' with
+    jaccard = 38/40; novel text → no row; base is never self-deduped."""
+    from fastcatsearch3_spark.dataops.dedup import dedup_against
+
+    base_text = " ".join(f"w{i}" for i in range(40))
+    base = spark.createDataFrame(
+        [(1, base_text), (2, "some other document entirely here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, base_text),
+            (102, base_text + " xx yy"),
+            (103, "zz yy xx ww vv uu tt ss"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_against(base, batch).toPandas().set_index("doc_id")
+    assert out.loc[101, "kind"] == "exact"
+    assert out.loc[101, "match_id"] == 1
+    assert out.loc[101, "jaccard_e4"] == 10000
+    # 40 tokens → 38 shingles; +2 words → 40 shingles, 38 shared
+    assert out.loc[102, "kind"] == "near"
+    assert out.loc[102, "match_id"] == 1
+    assert out.loc[102, "jaccard_e4"] == round(38 / 40 * 10000)
+    assert 103 not in out.index and len(out) == 2
+
+
 def test_repetition_stats_planted(spark):
     """'a b a b a b' : bigrams [ab,ba,ab,ba,ab] → top 3/5; trigrams
     [aba,bab,aba,bab] → 2 distinct of 4 → dup 1/2. A no-repeat doc
