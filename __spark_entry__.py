@@ -1185,6 +1185,31 @@ def _q_search_collapse(spark, sf_dir):
     )
 
 
+def _q_popular_keywords(spark, sf_dir):
+    # the reference's realtime popular-keyword service as a windowed
+    # stream agg (batch mode here; stream semantics pinned by
+    # tests/test_streaming.py): a synthetic deterministic query log over
+    # events — query = "<event_type> q<floor(value*10) % 7>"
+    from fastcatsearch3_spark.streaming.windows import popular_keywords
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    log = ev.select(
+        "ts",
+        F.concat(
+            F.col("event_type"),
+            F.lit(" q"),
+            (F.floor(F.col("value") * 10) % 7).cast("string"),
+        ).alias("query"),
+    )
+    out = popular_keywords(log, top=5)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH").alias("hour"),
+        "keyword",
+        "cnt",
+        "rank",
+    )
+
+
 def _q_stream_window(spark, sf_dir):  # ST-3: the STREAM-capable watermarked
     # window helper run in batch mode (same plan; watermark is a no-op) —
     # its streaming semantics (append emit, late-drop) are pinned by
@@ -1281,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "search_collapse": _q_search_collapse,
         "stream_window": _q_stream_window,
+        "popular_keywords": _q_popular_keywords,
     }
 
 
@@ -2331,4 +2357,25 @@ GROUP BY b ORDER BY range_lo
             " CAST(round(sum(value) * 10000) AS BIGINT) AS value_sum_e4"
             " FROM events GROUP BY 1, 2"
         ),
+        # popular keywords: same synthetic query log, split → per-window
+        # keyword counts → top-5 by (cnt desc, keyword asc)
+        "popular_keywords": """
+WITH log AS (
+  SELECT ts, event_type || ' q'
+           || CAST(CAST(floor(value * 10) AS BIGINT) % 7 AS VARCHAR) AS query
+  FROM events),
+kw AS (SELECT date_trunc('hour', ts) h,
+              unnest(list_filter(
+                string_split_regex(lower(query), '[^a-z0-9]+'),
+                x -> x <> '')) keyword
+       FROM log),
+cnt AS (SELECT h, keyword, CAST(count(*) AS BIGINT) cnt
+        FROM kw GROUP BY h, keyword),
+rk AS (SELECT h, keyword, cnt,
+              CAST(row_number() OVER (
+                PARTITION BY h ORDER BY cnt DESC, keyword ASC) AS INT) rank
+       FROM cnt)
+SELECT strftime(h, '%Y-%m-%d %H') AS hour, keyword, cnt, rank
+FROM rk WHERE rank <= 5
+""",
     }

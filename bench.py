@@ -134,6 +134,19 @@ def main() -> None:
         D.simhash_top_pairs(docs, cfg, top=50).count()
         timings["dedup_simhash"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
+        from pyspark.sql import functions as _FF
+
+        batch = docs.where(_FF.col("doc_id") % 13 == 0).select(
+            (_FF.col("doc_id") + 1000000).alias("doc_id"), "text"
+        ).unionByName(
+            docs.where(_FF.col("doc_id") % 17 == 0).select(
+                (_FF.col("doc_id") + 2000000).alias("doc_id"),
+                _FF.concat(_FF.col("text"), _FF.lit(" extra suffix")).alias("text"),
+            )
+        )
+        D.dedup_against(docs.select("doc_id", "text"), batch, cfg).count()
+        timings["dedup_incremental"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
         SIM.brute_force_topk(emb, probe_id=0, k=10).count()
         timings["ann_brute_force"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()

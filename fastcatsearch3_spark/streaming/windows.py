@@ -28,6 +28,78 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def popular_keyword_counts(
+    queries: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    query_col: str = "query",
+) -> DataFrame:
+    """Stream-safe half of the reference's popular/realtime keyword
+    service (server keyword statistics module [M]): split each logged
+    query into keywords and count per (window, keyword) — a watermark-
+    bounded partial/final agg, startable in append mode (a window's
+    counts emit once, when it closes). Output: (window_start, window_end,
+    keyword, cnt)."""
+    return (
+        queries.withWatermark(ts_col, watermark)
+        .select(
+            ts_col,
+            F.explode(
+                F.array_remove(
+                    F.split(F.lower(F.col(query_col)), "[^a-z0-9]+"), ""
+                )
+            ).alias("keyword"),
+        )
+        .groupBy(F.window(ts_col, window), "keyword")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "keyword",
+            "cnt",
+        )
+    )
+
+
+def rank_popular_keywords(counts: DataFrame, top: int = 10) -> DataFrame:
+    """Per-window top-N over a (window_start, …, keyword, cnt) relation —
+    the batch half, run over the sink table (or inside foreachBatch): the
+    ranked relation is tiny (windows × keywords-seen), never raw events.
+    A streaming agg followed by row_number is not startable as one stream,
+    which is why the service splits here."""
+    from pyspark.sql import Window as W
+
+    return (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("window_start").orderBy(
+                    F.desc("cnt"), F.asc("keyword")
+                )
+            ),
+        )
+        .where(F.col("rank") <= top)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def popular_keywords(
+    queries: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    query_col: str = "query",
+    top: int = 10,
+) -> DataFrame:
+    """Batch composition of the two halves: per-window top-N keywords.
+    Output: (window_start, window_end, keyword, cnt, rank)."""
+    return rank_popular_keywords(
+        popular_keyword_counts(queries, window, watermark, ts_col, query_col),
+        top=top,
+    ).select("window_start", "window_end", "keyword", "cnt", "rank")
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

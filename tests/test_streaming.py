@@ -84,6 +84,64 @@ def test_watermark_window_late_data(spark, tmp_path):
         q.stop()
 
 
+def test_popular_keywords_streaming(spark, tmp_path):
+    """The keyword-counts half runs as a REAL append-mode stream; the rank
+    half runs over the sink table — the documented service split."""
+    from fastcatsearch3_spark.streaming.windows import (
+        popular_keyword_counts,
+        popular_keywords,
+        rank_popular_keywords,
+    )
+
+    src = tmp_path / "qlog"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_kw")
+
+    def write(rows, i):
+        pd.DataFrame(rows, columns=["ts", "query"]).astype(
+            {"ts": "datetime64[us]"}
+        ).to_parquet(f"{src}/batch-{i}.parquet", index=False)
+
+    write([("2026-01-01 10:05:00", "spark merge"),
+           ("2026-01-01 10:10:00", "spark table"),
+           ("2026-01-01 10:20:00", "merge spark")], 0)
+    stream = (
+        spark.readStream.schema("ts timestamp, query string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        popular_keyword_counts(stream)
+        .writeStream.format("memory")
+        .queryName("kw_counts")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # close the [10:00, 11:00) window by advancing the watermark
+        write([("2026-01-01 12:30:00", "other things")], 1)
+        q.processAllAvailable()
+        ranked = rank_popular_keywords(
+            spark.sql("SELECT * FROM kw_counts"), top=2
+        ).toPandas()
+        ten = ranked[
+            ranked["window_start"] == pd.Timestamp("2026-01-01 10:00:00")
+        ].sort_values("rank")
+        assert ten["keyword"].tolist() == ["spark", "merge"]  # 3x and 2x
+        assert ten["cnt"].tolist() == [3, 2]
+    finally:
+        q.stop()
+    # batch composition == streaming counts + batch rank on this input
+    batch_log = spark.read.parquet(str(src))
+    got = popular_keywords(batch_log, top=2).toPandas()
+    ten_b = got[
+        got["window_start"] == pd.Timestamp("2026-01-01 10:00:00")
+    ].sort_values("rank")
+    assert ten_b["keyword"].tolist() == ["spark", "merge"]
+
+
 def test_windowed_counts_batch_equivalence(spark):
     # the same helper on a BATCH frame == plain groupBy window (watermark
     # is a no-op in batch) — ties the streaming shape to the oracle-checked
