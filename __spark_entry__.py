@@ -43,6 +43,7 @@ from fastcatsearch3_spark.plans.search import (
     match_doc_ids,
     search_collections,
     search_index,
+    search_many,
 )
 
 CFG = EngineConfig()
@@ -903,6 +904,25 @@ def _q_bm25_multifield(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_search_batch(spark, sf_dir):
+    # batch query execution (throughput mode): three queries share one
+    # postings scan and one kernel pass; per-query top-k via one window
+    store = _packed_store(spark, sf_dir)
+    out = search_many(
+        spark,
+        store,
+        {
+            "q_and": ParsedQuery(terms=_Q_AND2, op="AND"),
+            "q_or": ParsedQuery(terms=["vector", "stream"], op="OR"),
+            "q_not": ParsedQuery(
+                terms=["table"], not_terms=["hash"], op="AND"
+            ),
+        },
+        k=_K,
+    )
+    return out.select("query_id", "doc_id", _e4())
+
+
 def _q_search_collections(spark, sf_dir):
     # federated multi-collection search (cn=en,rest): two sub-collections
     # built over disjoint lang slices, each scored with ITS OWN stats
@@ -1280,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_field": _q_bm25_field,
         "bm25_multifield": _q_bm25_multifield,
         "search_collections": _q_search_collections,
+        "search_batch": _q_search_batch,
         "search_highlight": _q_search_highlight,
         "source_csv": _q_source_csv,
         "source_json": _q_source_json,
@@ -2109,6 +2130,18 @@ agg AS (SELECT doc_id, sum(partial) score, count(DISTINCT gid) ng FROM scored
         GROUP BY doc_id)
 SELECT doc_id, CAST(round(score * 10000) AS BIGINT) score_e4 FROM agg
 WHERE ng = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # batch query execution: three independent BM25 oracles stitched
+        # with their query ids — the engine amortizes them over one scan
+        "search_batch": f"""
+SELECT 'q_and' AS query_id, doc_id, score_e4 FROM ({_bm25_sql(
+    _Q_AND2, "AND", _K, order_raw=True)})
+UNION ALL
+SELECT 'q_or' AS query_id, doc_id, score_e4 FROM ({_bm25_sql(
+    ["vector", "stream"], "OR", _K, order_raw=True)})
+UNION ALL
+SELECT 'q_not' AS query_id, doc_id, score_e4 FROM ({_bm25_sql(
+    ["table"], "AND", _K, not_terms=["hash"], order_raw=True)})
 """,
         # federated multi-collection merge: each lang slice is its own
         # corpus with its own stats; raw scores merge before rounding so

@@ -107,6 +107,25 @@ def main() -> None:
         finally:
             shutil.rmtree(root_pos, ignore_errors=True)
 
+        # --- batch query execution (throughput mode) -------------------
+        from fastcatsearch3_spark.plans.search import search_many
+
+        t0 = time.monotonic()
+        search_many(
+            spark, store,
+            {
+                "b1": ParsedQuery(terms=["spark", "merge"], op="AND"),
+                "b2": ParsedQuery(terms=["vector", "stream"], op="OR"),
+                "b3": ParsedQuery(
+                    terms=["table"], not_terms=["hash"], op="AND"
+                ),
+                "b4": ParsedQuery(terms=["index", "build"], op="AND"),
+                "b5": ParsedQuery(terms=["line"], op="AND"),
+            },
+            k=10,
+        ).collect()
+        timings["q_batch5"] = round(time.monotonic() - t0, 3)
+
         # --- declarative BM25 path for comparison ----------------------
         t0 = time.monotonic()
         sql_bm25.bm25_topk(corpus, ["spark", "merge"], k=10, cfg=cfg).collect()

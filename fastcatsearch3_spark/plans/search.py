@@ -968,6 +968,214 @@ def search_collapse(
     )
 
 
+BATCH_KERNEL_SCHEMA = (
+    "query_id string, segment_id int, shard int, docno bigint, score double"
+)
+
+
+def search_many(
+    spark: SparkSession,
+    store,  # fastcatsearch3_spark.index.IndexStore
+    queries: dict[str, "str | ParsedQuery"],
+    k: int = 10,
+    mode: str = "bmw",
+) -> DataFrame:
+    """Batch query execution — the engine's throughput mode. The reference
+    serves one SearchJob per request (server job service [K]); offline
+    eval / query-log replay over a 100 TB index instead wants N queries to
+    share ONE postings scan and ONE kernel pass: the scan is filtered to
+    the UNION of all queries' terms (one pushed ``In``), each
+    (segment, shard) group scores every query against its local slice,
+    and the global per-query top-k is one window over the result-sized
+    hit relation (≤ queries × groups × k rows). Scheduling cost is ~one
+    query's, amortized over the batch.
+
+    Output: (query_id, doc_id, score), per-query (score desc, doc_id asc)
+    top-k. Flat AND/OR/NOT queries with synonym groups / msm / boosts /
+    field terms; phrases, prefix expansion, clause trees and filter masks
+    stay on the per-query ``search_index`` path."""
+    cfg = store.config()
+    stats = store.stats()
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    avgdl_by_field = stats.get("avgdl_by_field") or {}
+    if n_docs == 0 or not queries:
+        return spark.createDataFrame([], "query_id string, doc_id long, score double")
+
+    parsed: dict[str, ParsedQuery] = {}
+    for qid, q in queries.items():
+        pq = parse_query(q, cfg) if isinstance(q, str) else q
+        if pq.tree is not None or pq.phrases or any(
+            t.endswith("*") for t in pq.terms
+        ):
+            raise ValueError(
+                f"query {qid!r}: phrases/trees/prefix terms are not "
+                "batchable — use search_index for those"
+            )
+        parsed[qid] = pq
+
+    all_terms = sorted(
+        {t for pq in parsed.values() for t in pq.terms + pq.not_terms}
+    )
+    lex = (
+        store.lexicon(spark)
+        .where(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    )
+    dfmap = {r["term"]: r["df"] for r in lex}
+    term_avgdl = {
+        t: avgdl_by_field[t.split(":", 1)[0]]
+        for t in all_terms
+        if ":" in t and t.split(":", 1)[0] in avgdl_by_field
+    }
+
+    # per-query spec, mirroring search_index's presence gates
+    specs: list[tuple] = []
+    fetch: set[str] = set()
+    for qid, pq in parsed.items():
+        terms = [t for t in pq.terms if t in dfmap]
+        if not terms:
+            continue
+        tg = (
+            {t: gs for t, gs in zip(pq.terms, pq.groups) if t in dfmap}
+            if pq.groups is not None
+            else None
+        )
+        if pq.op == "AND":
+            if tg is None:
+                if len(terms) < len(pq.terms):
+                    continue  # a required term is unindexed → no results
+            else:
+                present = {g for gs in tg.values() for g in gs}
+                if len(present) < pq.n_groups:
+                    continue
+        if pq.msm is not None and pq.op == "OR":
+            n_present = (
+                len({g for gs in tg.values() for g in gs}) if tg else len(terms)
+            )
+            if n_present < pq.msm:
+                continue
+        qidf = {t: float(bm25_idf(n_docs, dfmap[t])) for t in terms}
+        for t, w in (pq.boosts or {}).items():
+            if t in qidf:
+                qidf[t] *= w
+        nset = {t for t in pq.not_terms if t in dfmap}
+        specs.append(
+            (
+                qid, qidf, nset, pq.op, len(terms), tg,
+                pq.n_groups if tg is not None else None, pq.msm,
+            )
+        )
+        fetch.update(qidf)
+        fetch.update(nset)
+    if not specs:
+        return spark.createDataFrame([], "query_id string, doc_id long, score double")
+
+    cand = (
+        store.postings(spark)
+        .where(F.col("term").isin(sorted(fetch)))
+        .select("segment_id", "shard", "term", "postings")
+    )
+    k1, b = cfg.k1, cfg.b
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=object),
+                    "segment_id": pd.Series([], dtype="int32"),
+                    "shard": pd.Series([], dtype="int32"),
+                    "docno": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        seg = int(pdf["segment_id"].iloc[0])
+        shard = int(pdf["shard"].iloc[0])
+        blobs = {t: bytes(bl) for t, bl in zip(pdf["term"], pdf["postings"])}
+        outs = []
+        for qid, qidf, nset, op, n_req, tg, n_groups, msm in specs:
+            pos_tps, neg_tps, pos_groups = [], [], []
+            for t, idf in qidf.items():
+                bl = blobs.get(t)
+                if bl is None:
+                    continue
+                pos_tps.append(
+                    TermPostings(
+                        term=t, idf=idf, blob=bl,
+                        avgdl=term_avgdl.get(t),
+                    )
+                )
+                if tg is not None:
+                    pos_groups.append(tg[t])
+            if not pos_tps:
+                continue
+            if op == "AND":
+                covered = (
+                    len({g for gs in pos_groups for g in gs})
+                    if tg is not None
+                    else len(pos_tps)
+                )
+                required = n_groups if tg is not None else n_req
+                if covered < required:
+                    continue
+            for t in nset:
+                bl = blobs.get(t)
+                if bl is not None:
+                    neg_tps.append(TermPostings(term=t, idf=0.0, blob=bl))
+            docnos, scores = score_group(
+                pos_tps, k=k, op=op, mode=mode, k1=k1, b=b, avgdl=avgdl,
+                not_terms=neg_tps,
+                groups=pos_groups if tg is not None else None,
+                n_groups=n_groups, msm=msm,
+            )
+            if docnos.size:
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "segment_id": np.full(docnos.size, seg, np.int32),
+                            "shard": np.full(docnos.size, shard, np.int32),
+                            "docno": docnos.astype(np.int64),
+                            "score": scores,
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=object),
+                    "segment_id": pd.Series([], dtype="int32"),
+                    "shard": pd.Series([], dtype="int32"),
+                    "docno": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    hits = cand.groupBy("segment_id", "shard").applyInPandas(
+        kernel, BATCH_KERNEL_SCHEMA
+    )
+    from pyspark.sql import Window as W
+
+    joined = (
+        store.docmap(spark)
+        .select("segment_id", "shard", "docno", "doc_id")
+        .join(F.broadcast(hits), ["segment_id", "shard", "docno"])
+        .select("query_id", "doc_id", "score")
+    )
+    ranked = joined.withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+    return (
+        ranked.where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def search_collections(
     spark: SparkSession,
     stores: dict[str, object],  # name -> IndexStore

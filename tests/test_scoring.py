@@ -195,3 +195,38 @@ def test_min_should_match(msm):
     )
     assert got_d.astype(np.int64).tolist() == want_d.tolist()
     np.testing.assert_allclose(got_s, want_s, atol=1e-9)
+
+
+def test_search_many_matches_per_query(spark):
+    """Batch execution == per-query search_index for every member query
+    (AND, OR, NOT, boost), including scores."""
+    import tempfile
+
+    import pandas as pd
+
+    from fastcatsearch3_spark.config import EngineConfig
+    from fastcatsearch3_spark.index import IndexStore
+    from fastcatsearch3_spark.operators.build import build_index
+    from fastcatsearch3_spark.operators.ingest import load_documents
+    from fastcatsearch3_spark.plans.query import parse_query
+    from fastcatsearch3_spark.plans.search import search_index, search_many
+
+    cfg = EngineConfig(num_shards=4)
+    corpus = load_documents(spark, "/root/testdata/sf0.001")
+    root = tempfile.mkdtemp(prefix="fcs3_batch_")
+    build_index(spark, corpus, root, cfg)
+    store = IndexStore(root)
+    qs = {
+        "a": parse_query("spark merge", cfg),
+        "b": parse_query("vector OR stream", cfg),
+        "c": parse_query("table -hash", cfg),
+        "d": parse_query("spark^2 merge", cfg),
+    }
+    got = search_many(spark, store, qs, k=10).toPandas()
+    for qid, pq in qs.items():
+        want = search_index(spark, store, pq, k=10).toPandas()
+        g = got[got["query_id"] == qid].reset_index(drop=True)
+        assert g["doc_id"].tolist() == want["doc_id"].tolist(), qid
+        pd.testing.assert_series_equal(
+            g["score"], want["score"], check_names=False
+        )
