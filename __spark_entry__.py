@@ -1230,6 +1230,27 @@ def _q_popular_keywords(spark, sf_dir):
     )
 
 
+def _q_session_window(spark, sf_dir):
+    # ST-3 session variant: gap-based merging windows per user (native
+    # session_window — streaming-capable, watermark-bounded open-session
+    # state); batch mode here, oracle = gaps-and-islands SQL
+    from fastcatsearch3_spark.streaming.windows import sessionized_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionized_counts(ev, gap="30 minutes", keys=("user_id",))
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "user_id",
+        "cnt",
+        F.round(F.col("value_sum") * 10000).cast("long").alias("value_sum_e4"),
+    )
+
+
 def _q_stream_window(spark, sf_dir):  # ST-3: the STREAM-capable watermarked
     # window helper run in batch mode (same plan; watermark is a no-op) —
     # its streaming semantics (append emit, late-drop) are pinned by
@@ -1328,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapse": _q_search_collapse,
         "stream_window": _q_stream_window,
         "popular_keywords": _q_popular_keywords,
+        "session_window": _q_session_window,
     }
 
 
@@ -2390,6 +2412,27 @@ GROUP BY b ORDER BY range_lo
             " CAST(round(sum(value) * 10000) AS BIGINT) AS value_sum_e4"
             " FROM events GROUP BY 1, 2"
         ),
+        # session windows: gaps-and-islands — break at gap >= 30 min
+        # (Spark merges sessions only while windows OVERLAP, i.e. diff <
+        # gap); session_end = last event + gap
+        "session_window": """
+WITH o AS (SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         session_end,
+       user_id, CAST(count(*) AS BIGINT) cnt,
+       CAST(round(sum(value) * 10000) AS BIGINT) value_sum_e4
+FROM s GROUP BY user_id, sid
+""",
         # popular keywords: same synthetic query log, split → per-window
         # keyword counts → top-5 by (cnt desc, keyword asc)
         "popular_keywords": """

@@ -100,6 +100,36 @@ def popular_keywords(
     ).select("window_start", "window_end", "keyword", "cnt", "rank")
 
 
+def sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Session windows (ST-3's gap-based variant): consecutive events of a
+    key belong to one session while their gaps stay under ``gap``; the
+    session closes ``gap`` after its last event. Native
+    ``session_window`` — a streaming-capable merging-window aggregate
+    (state = open sessions per key, watermark-bounded). Output:
+    (session_start, session_end, keys…, cnt, value_sum)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "cnt",
+            "value_sum",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

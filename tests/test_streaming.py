@@ -142,6 +142,54 @@ def test_popular_keywords_streaming(spark, tmp_path):
     assert ten_b["keyword"].tolist() == ["spark", "merge"]
 
 
+def test_stream_exact_dedup_stateful(spark, tmp_path):
+    """applyInPandasWithState first-occurrence dedup: a dup within a batch
+    and a dup ACROSS batches are both dropped; state survives batches."""
+    from fastcatsearch3_spark.streaming.stateful import stream_exact_dedup
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    def write(rows, i):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f"{src}/batch-{i}.parquet", index=False
+        )
+
+    write([(3, "aaa"), (1, "aaa"), (2, "bbb")], 0)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT doc_id, text FROM dedup_stream ORDER BY doc_id"
+        ).toPandas()
+        # within-batch dup (doc 3) dropped; min doc_id wins
+        assert list(map(tuple, got.to_numpy())) == [(1, "aaa"), (2, "bbb")]
+
+        write([(4, "aaa"), (5, "ccc")], 1)  # cross-batch dup + fresh doc
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT doc_id, text FROM dedup_stream ORDER BY doc_id"
+        ).toPandas()
+        assert list(map(tuple, got.to_numpy())) == [
+            (1, "aaa"), (2, "bbb"), (5, "ccc"),
+        ]
+    finally:
+        q.stop()
+
+
 def test_windowed_counts_batch_equivalence(spark):
     # the same helper on a BATCH frame == plain groupBy window (watermark
     # is a no-op in batch) — ties the streaming shape to the oracle-checked
