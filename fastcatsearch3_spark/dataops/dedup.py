@@ -170,6 +170,28 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_key) rows from a signature relation: one md5
+    per band over its signature rows. ``sig`` should be pinned
+    (localCheckpoint) by the caller — the per-band selects would otherwise
+    re-run the whole signature aggregate once per band."""
+    rows = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        parts.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols)).alias("band_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     cfg: EngineConfig | None = None,
@@ -206,7 +228,6 @@ def _lsh_verified(
 ) -> DataFrame:
     """Verified LSH pairs (doc_a < doc_b, exact ``jaccard``), unlimited —
     the shared feeder for top-pairs reporting and cluster assignment."""
-    rows = num_hashes // bands
     # ONE shingle materialization (≈ token stream size, executor-local)
     # feeds both the signature aggregate and the candidate verify below —
     # without it the analyzer+shingle pipeline would re-run once per
@@ -218,19 +239,7 @@ def _lsh_verified(
     sig = minhash_signatures(docs, cfg, n, num_hashes, sh=sh).localCheckpoint(
         eager=False
     )
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("band_key"),
-            )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+    banded = _band_rows(sig, num_hashes, bands)
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (
@@ -309,7 +318,6 @@ def dedup_against(
     shingle relations down to candidate docs first (same discipline as
     ``_lsh_verified``: cost ∝ candidates)."""
     cfg = cfg or EngineConfig()
-    rows = num_hashes // bands
 
     exact = (
         batch.select("doc_id", F.sha2("text", 256).alias("sha"))
@@ -331,27 +339,28 @@ def dedup_against(
     )
     rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
 
-    def _bands_of(docs: DataFrame) -> DataFrame:
-        sig = minhash_signatures(docs, cfg, n, num_hashes)
-        parts = []
-        for bd in range(bands):
-            cols = [F.col(f"sig_{bd * rows + r}") for r in range(rows)]
-            parts.append(
-                sig.select(
-                    "doc_id",
-                    F.lit(bd).alias("band"),
-                    F.md5(F.concat(*cols)).alias("band_key"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+    # ONE analyzer+shingle pass per corpus (pinned), feeding BOTH the
+    # signature aggregate and the verify — and a pinned sig so the
+    # per-band selects in _band_rows read one materialization, not
+    # bands× re-aggregations (same discipline as _lsh_verified; in
+    # production the base half is a persisted per-epoch artifact)
+    sh_rest_all = shingles(rest, cfg, n, distinct=False).localCheckpoint(
+        eager=False
+    )
+    sh_base_all = shingles(base, cfg, n, distinct=False).localCheckpoint(
+        eager=False
+    )
+    sig_rest = minhash_signatures(
+        rest, cfg, n, num_hashes, sh=sh_rest_all
+    ).localCheckpoint(eager=False)
+    sig_base = minhash_signatures(
+        base, cfg, n, num_hashes, sh=sh_base_all
+    ).localCheckpoint(eager=False)
 
     cand = (
-        _bands_of(rest)
+        _band_rows(sig_rest, num_hashes, bands)
         .join(
-            _bands_of(base).select(
+            _band_rows(sig_base, num_hashes, bands).select(
                 "band", "band_key", F.col("doc_id").alias("match_id")
             ),
             ["band", "band_key"],
@@ -360,17 +369,20 @@ def dedup_against(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    sh_rest = shingles(rest, cfg, n).join(
-        F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
+    sh_rest = (
+        sh_rest_all.join(
+            F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
+        )
+        .distinct()  # Jaccard is over shingle SETS
     )
     sh_base = (
-        shingles(base, cfg, n)
-        .withColumnRenamed("doc_id", "match_id")
+        sh_base_all.withColumnRenamed("doc_id", "match_id")
         .join(
             F.broadcast(cand.select("match_id").distinct()),
             "match_id",
             "left_semi",
         )
+        .distinct()
     )
     sets_rest = sh_rest.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("set_a")

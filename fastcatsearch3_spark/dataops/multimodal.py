@@ -162,7 +162,17 @@ def resize(docs: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
             c_src = (np.arange(out_w, dtype=np.int64)[None, :] * width[:, None]) // out_w
             idx = r_src[:, :, None] * width[:, None, None] + c_src[:, None, :]
             idx = np.minimum(idx, np.maximum(lens - 1, 0)[:, None, None])
-            px = flat[(starts[:, None, None] + idx).reshape(len(bufs), -1)] if flat.size else np.zeros((len(bufs), out_h * out_w), np.uint8)
+            if flat.size:
+                # clamp the GLOBAL gather index too: an empty payload that
+                # is not the first row would otherwise index one past its
+                # own (empty) slice — i.e. flat.size when it is last
+                gidx = np.minimum(
+                    (starts[:, None, None] + idx).reshape(len(bufs), -1),
+                    flat.size - 1,
+                )
+                px = flat[gidx]
+            else:
+                px = np.zeros((len(bufs), out_h * out_w), np.uint8)
             px = px.reshape(len(bufs), -1).astype(np.int32)
             px[lens == 0] = 0
             yield pd.DataFrame(

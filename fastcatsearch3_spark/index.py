@@ -102,26 +102,16 @@ class IndexStore:
         listing or segment set, which keys the epoch). Searches read the
         small materialized mask. Publication is write-to-tmp + rename, so
         a concurrent crash leaves at worst a stale tmp dir."""
-        import hashlib
         import shutil
 
         if not self.has_deletes():
             return None
-        dl_dir = Path(self._p("deletes"))
-        listing = sorted(
-            f"{p.name}:{p.stat().st_size}"
-            for p in dl_dir.iterdir()
-            if p.is_file() and not p.name.startswith(("_", "."))
-        )
-        epoch = hashlib.sha256(
-            ("|".join(listing) + "||" + ",".join(map(str, self.segments()))).encode()
-        ).hexdigest()[:16]
-        out = Path(self._p(".denied", epoch))
+        out = Path(self._p(".denied", self.epoch()))
         if not out.exists():
             from pyspark.sql import functions as F
 
             dm = self.docmap(spark).alias("dm")
-            dl = spark.read.parquet(str(dl_dir)).alias("dl")
+            dl = spark.read.parquet(self._p("deletes")).alias("dl")
             denied = (
                 dm.join(
                     dl,
@@ -144,28 +134,34 @@ class IndexStore:
                     shutil.rmtree(p, ignore_errors=True)
         return spark.read.parquet(str(out))
 
+    def _deletes_listing(self) -> str:
+        """Sorted name:size listing of the deletes parts — the mutable
+        half of the epoch (deletes are append-mode parquet parts, so any
+        delete changes it)."""
+        if not self.has_deletes():
+            return ""
+        return "|".join(
+            sorted(
+                f"{p.name}:{p.stat().st_size}"
+                for p in Path(self._p("deletes")).iterdir()
+                if p.is_file() and not p.name.startswith(("_", "."))
+            )
+        )
+
     def epoch(self) -> str:
         """Cheap index-version token: changes whenever a build / append /
         delete / compact publishes (stats.json mtime, segment set, deletes
-        listing). Keys per-epoch materializations (denied mask) and the
-        Collection search cache — the reference invalidates its search
-        cache the same way, on collection index events [M]."""
+        listing). The SINGLE epoch definition — it keys both the per-epoch
+        denied-mask materialization and the Collection search cache, so
+        the two invalidate together (the reference drops its search cache
+        on the same collection index events [M])."""
         import hashlib
 
         parts = [
             str(Path(self._p("stats.json")).stat().st_mtime_ns),
             ",".join(map(str, self.segments())),
+            self._deletes_listing(),
         ]
-        if self.has_deletes():
-            parts.append(
-                "|".join(
-                    sorted(
-                        f"{p.name}:{p.stat().st_size}"
-                        for p in Path(self._p("deletes")).iterdir()
-                        if p.is_file() and not p.name.startswith(("_", "."))
-                    )
-                )
-            )
         return hashlib.sha256("||".join(parts).encode()).hexdigest()[:16]
 
     def segments(self) -> list[int]:

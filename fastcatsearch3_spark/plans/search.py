@@ -979,6 +979,7 @@ def search_many(
     queries: dict[str, "str | ParsedQuery"],
     k: int = 10,
     mode: str = "bmw",
+    apply_deletes: bool = True,
 ) -> DataFrame:
     """Batch query execution — the engine's throughput mode. The reference
     serves one SearchJob per request (server job service [K]); offline
@@ -992,8 +993,10 @@ def search_many(
 
     Output: (query_id, doc_id, score), per-query (score desc, doc_id asc)
     top-k. Flat AND/OR/NOT queries with synonym groups / msm / boosts /
-    field terms; phrases, prefix expansion, clause trees and filter masks
-    stay on the per-query ``search_index`` path."""
+    field terms; tombstoned docs are excluded via the epoch denied mask
+    cogrouped into the kernel, exactly like ``search_index``. Phrases,
+    prefix expansion, clause trees and allow-filter masks stay on the
+    per-query ``search_index`` path."""
     cfg = store.config()
     stats = store.stats()
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -1078,7 +1081,7 @@ def search_many(
     )
     k1, b = cfg.k1, cfg.b
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score_batch(pdf: pd.DataFrame, mask_pdf: pd.DataFrame | None) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame(
                 {
@@ -1091,6 +1094,11 @@ def search_many(
             )
         seg = int(pdf["segment_id"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
+        deny = None
+        if mask_pdf is not None and len(mask_pdf):
+            deny = np.sort(
+                mask_pdf["docno"].to_numpy(np.int64)
+            ).astype(np.uint64)
         blobs = {t: bytes(bl) for t, bl in zip(pdf["term"], pdf["postings"])}
         outs = []
         for qid, qidf, nset, op, n_req, tg, n_groups, msm in specs:
@@ -1124,7 +1132,7 @@ def search_many(
                     neg_tps.append(TermPostings(term=t, idf=0.0, blob=bl))
             docnos, scores = score_group(
                 pos_tps, k=k, op=op, mode=mode, k1=k1, b=b, avgdl=avgdl,
-                not_terms=neg_tps,
+                not_terms=neg_tps, deny_docnos=deny,
                 groups=pos_groups if tg is not None else None,
                 n_groups=n_groups, msm=msm,
             )
@@ -1152,9 +1160,29 @@ def search_many(
             )
         return pd.concat(outs, ignore_index=True)
 
-    hits = cand.groupBy("segment_id", "shard").applyInPandas(
-        kernel, BATCH_KERNEL_SCHEMA
-    )
+    denied = store.denied_mask(spark) if apply_deletes else None
+    if denied is not None:
+        # two-arg function → cogroup passes (left, right); a lone grouped
+        # two-arg function would instead receive (key, pdf)
+        def cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            return _score_batch(left, right)
+
+        hits = (
+            cand.groupBy("segment_id", "shard")
+            .cogroup(
+                denied.select("segment_id", "shard", "docno").groupBy(
+                    "segment_id", "shard"
+                )
+            )
+            .applyInPandas(cogrouped, BATCH_KERNEL_SCHEMA)
+        )
+    else:
+        def grouped(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_batch(pdf, None)
+
+        hits = cand.groupBy("segment_id", "shard").applyInPandas(
+            grouped, BATCH_KERNEL_SCHEMA
+        )
     from pyspark.sql import Window as W
 
     joined = (
@@ -1197,6 +1225,15 @@ def search_collections(
     reference does, so it costs nothing at any corpus scale."""
     if not stores:
         raise ValueError("search_collections needs at least one store")
+    # kwargs whose output the (collection, doc_id, score) merge would
+    # silently discard or whose global semantics don't distribute over
+    # per-collection searches — reject rather than half-apply
+    for bad in ("hydrate", "offset", "_return_all"):
+        if kw.get(bad):
+            raise ValueError(
+                f"search_collections does not support {bad!r}; run it on "
+                "the merged ids (hydrate) or per collection (offset)"
+            )
     out: DataFrame | None = None
     for name, store in stores.items():
         hits = search_index(spark, store, query, k=k, mode=mode, **kw)

@@ -207,12 +207,15 @@ def test_multimodal_resize_matches_pointwise(spark, docs):
 
 
 def test_multimodal_resize_empty_payload(spark):
+    # empty payloads first AND last in the batch (the trailing case would
+    # gather one past the flat buffer without the global index clamp)
     empty = spark.createDataFrame(
-        [(1, ""), (2, "abcdef")], "doc_id long, text string"
-    )
+        [(1, ""), (2, "abcdef"), (3, "")], "doc_id long, text string"
+    ).coalesce(1)
     out = MM.resize(empty, out_w=2, out_h=2).toPandas().set_index("doc_id")
     assert list(out.loc[1, "pixels"]) == [0, 0, 0, 0]
     assert all(p > 0 for p in out.loc[2, "pixels"])
+    assert list(out.loc[3, "pixels"]) == [0, 0, 0, 0]
 
 
 def test_multimodal_frame_sample(spark, docs):

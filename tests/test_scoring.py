@@ -230,3 +230,34 @@ def test_search_many_matches_per_query(spark):
         pd.testing.assert_series_equal(
             g["score"], want["score"], check_names=False
         )
+
+
+def test_search_many_applies_deletes(spark, tmp_path):
+    """Batch mode must exclude tombstoned docs exactly like search_index."""
+    import pandas as pd
+
+    from fastcatsearch3_spark import Collection, EngineConfig
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+    from fastcatsearch3_spark.plans.search import search_index, search_many
+
+    def _pdf(rows):
+        return pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": "en",
+                "source": "s",
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        )
+
+    col = Collection(spark, str(tmp_path / "idx"), EngineConfig(num_shards=2))
+    col.build(normalize_corpus(spark.createDataFrame(_pdf(
+        [(1, "spark merge table"), (2, "spark merge rows"), (3, "other")]
+    ))))
+    col.delete(normalize_corpus(spark.createDataFrame(_pdf([(1, "x")]))))
+    got = search_many(
+        spark, col.store, {"q": "spark merge"}, k=10
+    ).toPandas()
+    want = search_index(spark, col.store, "spark merge", k=10).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist() == [2]
