@@ -107,6 +107,11 @@ class Collection:
             self._cache.popitem(last=False)
         return self.spark.createDataFrame(rows, schema=out.schema)
 
+    def search_many(self, queries: dict, k: int = 10, **kw) -> DataFrame:
+        from fastcatsearch3_spark.plans.search import search_many
+
+        return search_many(self.spark, self.store, queries, k=k, **kw)
+
     def match(self, query, **kw) -> DataFrame:
         from fastcatsearch3_spark.plans.search import match_doc_ids
 

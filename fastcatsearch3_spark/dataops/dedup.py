@@ -384,13 +384,128 @@ def dedup_against(
         )
         .distinct()
     )
+    return exact.unionByName(
+        _verify_near(cand, sh_rest, sh_base, min_jaccard)
+    )
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    out_dir: str,
+    cfg: EngineConfig | None = None,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> None:
+    """Persist the corpus's MinHash band table — the per-epoch artifact
+    ``dedup_against`` probes, built ONCE per curated-corpus epoch (like
+    the search index) so each ingest batch pays only its own tokenize +
+    a band equi-join. Written sorted by (band, band_key): a probe's
+    band-key join prunes to matching row groups via parquet min/max."""
+    cfg = cfg or EngineConfig()
+    sh = shingles(docs, cfg, n, distinct=False).localCheckpoint(eager=False)
+    sig = minhash_signatures(docs, cfg, n, num_hashes, sh=sh).localCheckpoint(
+        eager=False
+    )
+    (
+        _band_rows(sig, num_hashes, bands)
+        .sort("band", "band_key")
+        .write.mode("overwrite")
+        .parquet(str(out_dir))
+    )
+
+
+def dedup_against_index(
+    spark,
+    index_dir: str,
+    base: DataFrame,
+    batch: DataFrame,
+    cfg: EngineConfig | None = None,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """``dedup_against`` probing a PERSISTED base band table
+    (``minhash_index_build``) instead of recomputing base signatures:
+    per-ingest cost = batch tokenize/minhash + one band equi-join against
+    the on-disk table + candidate-restricted verify, where base shingles
+    are re-derived ONLY for candidate base docs (pushed semi-join into
+    the base scan). Same output contract as ``dedup_against``."""
+    cfg = cfg or EngineConfig()
+    exact = (
+        batch.select("doc_id", F.sha2("text", 256).alias("sha"))
+        .join(
+            base.select(
+                F.col("doc_id").alias("match_id"),
+                F.sha2("text", 256).alias("sha"),
+            ),
+            "sha",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("match_id").alias("match_id"))
+        .select(
+            "doc_id",
+            "match_id",
+            F.lit("exact").alias("kind"),
+            F.lit(10000).cast("long").alias("jaccard_e4"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
+    sh_rest_all = shingles(rest, cfg, n, distinct=False).localCheckpoint(
+        eager=False
+    )
+    sig_rest = minhash_signatures(
+        rest, cfg, n, num_hashes, sh=sh_rest_all
+    ).localCheckpoint(eager=False)
+    base_bands = spark.read.parquet(str(index_dir))
+    cand = (
+        _band_rows(sig_rest, num_hashes, bands)
+        .join(
+            base_bands.select(
+                "band", "band_key", F.col("doc_id").alias("match_id")
+            ),
+            ["band", "band_key"],
+        )
+        .select("doc_id", "match_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sh_rest = sh_rest_all.join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
+    ).distinct()
+    # base shingles ONLY for candidate docs: the semi-join pushes the
+    # candidate ids into the base scan before any tokenization happens
+    cand_base = base.join(
+        F.broadcast(
+            cand.select(F.col("match_id").alias("doc_id")).distinct()
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    sh_base = shingles(cand_base, cfg, n).withColumnRenamed(
+        "doc_id", "match_id"
+    )
+    return exact.unionByName(
+        _verify_near(cand, sh_rest, sh_base, min_jaccard)
+    )
+
+
+def _verify_near(
+    cand: DataFrame, sh_rest: DataFrame, sh_base: DataFrame,
+    min_jaccard: float,
+) -> DataFrame:
+    """Cross-corpus candidate verification shared by dedup_against and
+    dedup_against_index: exact Jaccard over candidate shingle sets, best
+    base match per batch doc by (jaccard desc, match_id asc)."""
     sets_rest = sh_rest.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("set_a")
     )
     sets_base = sh_base.groupBy("match_id").agg(
         F.collect_set("shingle").alias("set_b")
     )
-    near = (
+    return (
         sets_rest.join(F.broadcast(cand), "doc_id")
         .join(F.broadcast(sets_base), "match_id")
         .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
@@ -410,10 +525,11 @@ def dedup_against(
             "doc_id",
             (-F.col("m.nid")).cast("long").alias("match_id"),
             F.lit("near").alias("kind"),
-            F.round(F.col("m.jaccard") * 10000).cast("long").alias("jaccard_e4"),
+            F.round(F.col("m.jaccard") * 10000).cast("long").alias(
+                "jaccard_e4"
+            ),
         )
     )
-    return exact.unionByName(near)
 
 
 def near_dup_clusters(

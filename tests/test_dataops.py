@@ -168,6 +168,34 @@ def test_dedup_against_planted(spark):
     assert 103 not in out.index and len(out) == 2
 
 
+def test_dedup_against_index_equals_direct(spark, tmp_path):
+    """Probing the persisted band table == computing base bands inline."""
+    from fastcatsearch3_spark.dataops.dedup import (
+        dedup_against,
+        dedup_against_index,
+        minhash_index_build,
+    )
+
+    base_text = " ".join(f"w{i}" for i in range(40))
+    base = spark.createDataFrame(
+        [(1, base_text), (2, "some other document entirely here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(101, base_text), (102, base_text + " xx yy"), (103, "zz yy xx")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mh_index")
+    minhash_index_build(base, idx)
+    direct = dedup_against(base, batch).toPandas().sort_values("doc_id")
+    via_idx = (
+        dedup_against_index(spark, idx, base, batch)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert direct.reset_index(drop=True).equals(via_idx.reset_index(drop=True))
+
+
 def test_repetition_stats_planted(spark):
     """'a b a b a b' : bigrams [ab,ba,ab,ba,ab] → top 3/5; trigrams
     [aba,bab,aba,bab] → 2 distinct of 4 → dup 1/2. A no-repeat doc
