@@ -27,6 +27,12 @@ def main() -> None:
     ap.add_argument(
         "--corpus", help="parquet dir of the source corpus (for --facet)"
     )
+    ap.add_argument(
+        "--batch",
+        action="store_true",
+        help="treat --query as a ;-separated batch; all queries share one "
+        "postings scan (throughput mode)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,6 +59,26 @@ def main() -> None:
         )
         for row in out.collect():
             print(json.dumps({args.facet: row[args.facet], "count": row["count"]}))
+    elif args.batch:
+        from fastcatsearch3_spark.plans.search import search_many
+
+        qs = {
+            f"q{i}": q.strip()
+            for i, q in enumerate(args.query.split(";"))
+            if q.strip()
+        }
+        for row in search_many(
+            spark, store, qs, k=args.k, mode=args.mode
+        ).collect():
+            print(
+                json.dumps(
+                    {
+                        "query_id": row["query_id"],
+                        "doc_id": row["doc_id"],
+                        "score": row["score"],
+                    }
+                )
+            )
     else:
         hits = search_index(
             spark, store, args.query, k=args.k, mode=args.mode,
