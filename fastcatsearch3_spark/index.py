@@ -134,6 +134,38 @@ class IndexStore:
                     shutil.rmtree(p, ignore_errors=True)
         return spark.read.parquet(str(out))
 
+    def df_for_terms(self, spark: SparkSession, terms: list[str]) -> dict:
+        """term → df for the given terms, from a driver-resident lexicon
+        cache — the reference keeps its term dictionary memory-indexed
+        per collection (core:ir.search.SearchIndexReader lexicon memory
+        index [K]); here the cache holds only TERMS THAT HAVE BEEN ASKED
+        (plus negative entries for absent ones), so it is O(distinct query
+        terms), not O(lexicon). Invalidates on epoch change. Saves one
+        Spark job per warm query. Absent terms are omitted from the
+        result (mirroring the previous collect-based lookup)."""
+        ep = self.epoch()
+        if getattr(self, "_lex_epoch", None) != ep:
+            self._lex_cache: dict[str, int | None] = {}
+            self._lex_epoch = ep
+        missing = [t for t in terms if t not in self._lex_cache]
+        if missing:
+            from pyspark.sql import functions as F
+
+            rows = (
+                self.lexicon(spark)
+                .where(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: r["df"] for r in rows}
+            for t in missing:
+                self._lex_cache[t] = found.get(t)
+        return {
+            t: self._lex_cache[t]
+            for t in terms
+            if self._lex_cache.get(t) is not None
+        }
+
     def _deletes_listing(self) -> str:
         """Sorted name:size listing of the deletes parts — the mutable
         half of the epoch (deletes are append-mode parquet parts, so any

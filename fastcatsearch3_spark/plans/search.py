@@ -655,13 +655,7 @@ def search_index(
     if not pq.terms or n_docs == 0:
         return spark.createDataFrame([], "doc_id long, score double")
 
-    lex = (
-        store.lexicon(spark)
-        .where(F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    )
-    dfmap = {r["term"]: r["df"] for r in lex}
+    dfmap = store.df_for_terms(spark, all_terms)
     if pq.op == "AND" and pq.tree is None:
         if pq.groups is None:
             if any(t not in dfmap for t in pq.terms):
@@ -1019,13 +1013,7 @@ def search_many(
     all_terms = sorted(
         {t for pq in parsed.values() for t in pq.terms + pq.not_terms}
     )
-    lex = (
-        store.lexicon(spark)
-        .where(F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    )
-    dfmap = {r["term"]: r["df"] for r in lex}
+    dfmap = store.df_for_terms(spark, all_terms)
     term_avgdl = {
         t: avgdl_by_field[t.split(":", 1)[0]]
         for t in all_terms
