@@ -59,7 +59,13 @@ class Collection:
 
     @property
     def store(self) -> IndexStore:
-        return IndexStore(self.root)
+        # one long-lived instance: IndexStore is a stateless view of the
+        # on-disk index (epoch checks inside df_for_terms/denied_mask
+        # handle mutation), and its warm caches (lexicon stats) only pay
+        # off if the instance survives across queries
+        if getattr(self, "_store", None) is None:
+            self._store = IndexStore(self.root)
+        return self._store
 
     def build(self, corpus: DataFrame, **kw) -> dict:
         from fastcatsearch3_spark.operators.build import build_index

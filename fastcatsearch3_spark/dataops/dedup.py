@@ -319,23 +319,12 @@ def dedup_against(
     ``_lsh_verified``: cost ∝ candidates)."""
     cfg = cfg or EngineConfig()
 
-    exact = (
-        batch.select("doc_id", F.sha2("text", 256).alias("sha"))
-        .join(
-            base.select(
-                F.col("doc_id").alias("match_id"), F.sha2("text", 256).alias("sha")
-            ),
-            "sha",
-        )
-        .groupBy("doc_id")
-        .agg(F.min("match_id").alias("match_id"))
-        .select(
-            "doc_id",
-            "match_id",
-            F.lit("exact").alias("kind"),
-            F.lit(10000).cast("long").alias("jaccard_e4"),
-        )
-        .localCheckpoint(eager=False)  # read twice (output + anti-join)
+    exact = _exact_against(
+        base.select(
+            F.col("doc_id").alias("match_id"),
+            F.sha2("text", 256).alias("sha"),
+        ),
+        batch,
     )
     rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
 
@@ -389,6 +378,26 @@ def dedup_against(
     )
 
 
+def _exact_against(base_sha: DataFrame, batch: DataFrame) -> DataFrame:
+    """Exact-duplicate half shared by dedup_against and the persisted-
+    artifact probe: batch content hashes equi-joined to a (match_id, sha)
+    base relation; smallest matching base doc wins. Pinned — read twice
+    (output + the near path's anti-join)."""
+    return (
+        batch.select("doc_id", F.sha2("text", 256).alias("sha"))
+        .join(base_sha, "sha")
+        .groupBy("doc_id")
+        .agg(F.min("match_id").alias("match_id"))
+        .select(
+            "doc_id",
+            "match_id",
+            F.lit("exact").alias("kind"),
+            F.lit(10000).cast("long").alias("jaccard_e4"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def minhash_index_build(
     docs: DataFrame,
     out_dir: str,
@@ -397,11 +406,22 @@ def minhash_index_build(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
 ) -> None:
-    """Persist the corpus's MinHash band table — the per-epoch artifact
-    ``dedup_against`` probes, built ONCE per curated-corpus epoch (like
-    the search index) so each ingest batch pays only its own tokenize +
-    a band equi-join. Written sorted by (band, band_key): a probe's
-    band-key join prunes to matching row groups via parquet min/max."""
+    """Persist the corpus's dedup artifact — built ONCE per curated-
+    corpus epoch (like the search index) so each ingest batch pays only
+    its own tokenize + two equi-joins. Layout under ``out_dir``:
+
+      bands/     (doc_id, band, band_key) — MinHash band table, sorted
+                 within partitions for compression locality (the probe is
+                 a shuffle equi-join, so no min/max pruning is claimed)
+      sha/       (match_id, sha) — content hashes for the exact half, so
+                 a probe never re-scans or re-hashes the base corpus
+      manifest.json — {n, num_hashes, bands, analyzer} — probe parameters
+                 are VALIDATED against this (a mismatched probe would
+                 silently find zero candidates otherwise)
+    """
+    import json
+    from pathlib import Path
+
     cfg = cfg or EngineConfig()
     sh = shingles(docs, cfg, n, distinct=False).localCheckpoint(eager=False)
     sig = minhash_signatures(docs, cfg, n, num_hashes, sh=sh).localCheckpoint(
@@ -409,9 +429,27 @@ def minhash_index_build(
     )
     (
         _band_rows(sig, num_hashes, bands)
-        .sort("band", "band_key")
+        .sortWithinPartitions("band", "band_key")
         .write.mode("overwrite")
-        .parquet(str(out_dir))
+        .parquet(str(Path(out_dir) / "bands"))
+    )
+    (
+        docs.select(
+            F.col("doc_id").alias("match_id"),
+            F.sha2("text", 256).alias("sha"),
+        )
+        .write.mode("overwrite")
+        .parquet(str(Path(out_dir) / "sha"))
+    )
+    Path(out_dir, "manifest.json").write_text(
+        json.dumps(
+            {
+                "n": n,
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "analyzer": cfg.analyzer,
+            }
+        )
     )
 
 
@@ -426,31 +464,33 @@ def dedup_against_index(
     bands: int = BANDS,
     min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """``dedup_against`` probing a PERSISTED base band table
-    (``minhash_index_build``) instead of recomputing base signatures:
-    per-ingest cost = batch tokenize/minhash + one band equi-join against
-    the on-disk table + candidate-restricted verify, where base shingles
-    are re-derived ONLY for candidate base docs (pushed semi-join into
-    the base scan). Same output contract as ``dedup_against``."""
+    """``dedup_against`` probing the PERSISTED artifact
+    (``minhash_index_build``) instead of recomputing base signatures or
+    content hashes: per-ingest cost = batch tokenize/minhash + a sha
+    equi-join + a band equi-join against the on-disk tables +
+    candidate-restricted verify, where base shingles are re-derived ONLY
+    for candidate base docs (pushed semi-join into the base scan —
+    ``base`` is read solely for those few docs). Probe parameters are
+    validated against the artifact's manifest: a mismatch (different
+    hash family, band count, shingle width, or analyzer) would otherwise
+    produce disjoint band keys and silently miss every near-dup. Same
+    output contract as ``dedup_against``."""
+    import json
+    from pathlib import Path
+
     cfg = cfg or EngineConfig()
-    exact = (
-        batch.select("doc_id", F.sha2("text", 256).alias("sha"))
-        .join(
-            base.select(
-                F.col("doc_id").alias("match_id"),
-                F.sha2("text", 256).alias("sha"),
-            ),
-            "sha",
+    want = {
+        "n": n, "num_hashes": num_hashes, "bands": bands,
+        "analyzer": cfg.analyzer,
+    }
+    manifest = json.loads(Path(index_dir, "manifest.json").read_text())
+    if manifest != want:
+        raise ValueError(
+            f"minhash index at {index_dir} was built with {manifest}, "
+            f"probe asked for {want} — rebuild or match parameters"
         )
-        .groupBy("doc_id")
-        .agg(F.min("match_id").alias("match_id"))
-        .select(
-            "doc_id",
-            "match_id",
-            F.lit("exact").alias("kind"),
-            F.lit(10000).cast("long").alias("jaccard_e4"),
-        )
-        .localCheckpoint(eager=False)
+    exact = _exact_against(
+        spark.read.parquet(str(Path(index_dir) / "sha")), batch
     )
     rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
     sh_rest_all = shingles(rest, cfg, n, distinct=False).localCheckpoint(
@@ -459,7 +499,7 @@ def dedup_against_index(
     sig_rest = minhash_signatures(
         rest, cfg, n, num_hashes, sh=sh_rest_all
     ).localCheckpoint(eager=False)
-    base_bands = spark.read.parquet(str(index_dir))
+    base_bands = spark.read.parquet(str(Path(index_dir) / "bands"))
     cand = (
         _band_rows(sig_rest, num_hashes, bands)
         .join(

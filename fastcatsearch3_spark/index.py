@@ -147,6 +147,11 @@ class IndexStore:
         if getattr(self, "_lex_epoch", None) != ep:
             self._lex_cache: dict[str, int | None] = {}
             self._lex_epoch = ep
+        # bound driver memory under a diverse/adversarial term stream
+        # (query-log replay adds a negative entry per misspelling): FIFO-
+        # evict oldest insertions past the cap (dicts preserve order)
+        while len(self._lex_cache) > 65536:
+            self._lex_cache.pop(next(iter(self._lex_cache)))
         missing = [t for t in terms if t not in self._lex_cache]
         if missing:
             from pyspark.sql import functions as F

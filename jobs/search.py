@@ -34,6 +34,10 @@ def main() -> None:
         "postings scan (throughput mode)",
     )
     args = ap.parse_args()
+    if args.batch and args.offset:
+        ap.error("--batch does not support --offset (page per query instead)")
+    if args.batch and args.facet:
+        ap.error("--batch and --facet are mutually exclusive")
 
     from pyspark.sql import SparkSession
 
