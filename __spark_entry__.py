@@ -904,6 +904,19 @@ def _q_bm25_multifield(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_index_stats(spark, sf_dir):
+    # build-integrity cross-check: the index's manifest stats (n_docs,
+    # avgdl summed map-side during the build) and the merged lexicon's
+    # term count must equal what SQL derives from the raw corpus
+    store = _packed_store(spark, sf_dir)
+    st = store.stats()
+    n_terms = store.lexicon(spark).count()
+    return spark.createDataFrame(
+        [(int(st["n_docs"]), int(round(st["avgdl"] * 10000)), int(n_terms))],
+        "n_docs long, avgdl_e4 long, n_terms long",
+    )
+
+
 def _q_search_batch(spark, sf_dir):
     # batch query execution (throughput mode): three queries share one
     # postings scan and one kernel pass; per-query top-k via one window
@@ -1322,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multifield": _q_bm25_multifield,
         "search_collections": _q_search_collections,
         "search_batch": _q_search_batch,
+        "index_stats": _q_index_stats,
         "search_highlight": _q_search_highlight,
         "source_csv": _q_source_csv,
         "source_json": _q_source_json,
@@ -2152,6 +2166,15 @@ agg AS (SELECT doc_id, sum(partial) score, count(DISTINCT gid) ng FROM scored
         GROUP BY doc_id)
 SELECT doc_id, CAST(round(score * 10000) AS BIGINT) score_e4 FROM agg
 WHERE ng = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # index global stats == derived-from-raw-corpus stats
+        "index_stats": f"""
+WITH dl AS ({_DL}),
+tok AS ({_TOK})
+SELECT CAST(count(*) AS BIGINT) n_docs,
+       CAST(round(avg(dl) * 10000) AS BIGINT) avgdl_e4,
+       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM tok) n_terms
+FROM dl
 """,
         # batch query execution: three independent BM25 oracles stitched
         # with their query ids — the engine amortizes them over one scan
