@@ -904,6 +904,21 @@ def _q_bm25_multifield(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_hybrid_search(spark, sf_dir):
+    # hybrid retrieval: BM25 top-100 candidates re-scored by
+    # 0.5*bm25 + 0.5*cosine(embedding, probe vec 0); candidate ids are
+    # pushed into the embeddings scan (row-group pruning)
+    from fastcatsearch3_spark.plans.search import hybrid_search
+
+    store = _packed_store(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = hybrid_search(
+        spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), emb,
+        probe_id=0, k=_K, rerank_k=100,
+    )
+    return out.select("doc_id", _e4("blended"))
+
+
 def _q_index_stats(spark, sf_dir):
     # build-integrity cross-check: the index's manifest stats (n_docs,
     # avgdl summed map-side during the build) and the merged lexicon's
@@ -1336,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collections": _q_search_collections,
         "search_batch": _q_search_batch,
         "index_stats": _q_index_stats,
+        "hybrid_search": _q_hybrid_search,
         "search_highlight": _q_search_highlight,
         "source_csv": _q_source_csv,
         "source_json": _q_source_json,
@@ -2166,6 +2182,27 @@ agg AS (SELECT doc_id, sum(partial) score, count(DISTINCT gid) ng FROM scored
         GROUP BY doc_id)
 SELECT doc_id, CAST(round(score * 10000) AS BIGINT) score_e4 FROM agg
 WHERE ng = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # hybrid retrieval: lexical top-100 + dense cosine re-rank (same
+        # cosine expression as ann_cosine_topk; raw-score blend)
+        "hybrid_search": f"""
+WITH cand AS ({_bm25_sql(_Q_AND2, "AND", 100, order_raw=True,
+                         select_cols="doc_id, score")}),
+v AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings),
+probe AS (SELECT vec AS qvec FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT c.doc_id,
+         0.5 * c.score + 0.5 * (
+           list_sum(list_transform(range(1, 65),
+             i -> v.vec[CAST(i AS INT)] * p.qvec[CAST(i AS INT)]))
+           / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(p.qvec, x -> x * x))))
+         ) AS blended
+  FROM cand c JOIN v ON v.vec_id = c.doc_id CROSS JOIN probe p)
+SELECT doc_id, CAST(round(blended * 10000) AS BIGINT) AS blended_e4
+FROM scored ORDER BY blended DESC, doc_id ASC LIMIT {_K}
 """,
         # index global stats == derived-from-raw-corpus stats
         "index_stats": f"""

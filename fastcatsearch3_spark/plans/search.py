@@ -1192,6 +1192,70 @@ def search_many(
     )
 
 
+def hybrid_search(
+    spark: SparkSession,
+    store,  # fastcatsearch3_spark.index.IndexStore
+    query: str | ParsedQuery,
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    rerank_k: int = 100,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Hybrid retrieval — lexical recall, dense precision: BM25 generates
+    the top-``rerank_k`` candidates, each is re-scored by a blend with
+    its embedding's cosine similarity to the probe vector, and the
+    blended top-k wins. An engine extension past the reference (which is
+    lexical-only); the standard first-stage/re-rank composition of a
+    modern retrieval stack. ``final = alpha·BM25 + (1−alpha)·cosine``
+    (raw blend — score normalization policy is orthogonal to the
+    plumbing). Candidates without an embedding row drop out (inner join).
+
+    Scale shape: the candidate list is result-sized (≤ rerank_k), so its
+    ids are PUSHED into the embeddings scan as an ``In`` predicate
+    (row-group pruning — never a full embedding-table scan per query),
+    and the probe vector is one collected row. Output:
+    (doc_id, score, cosine, blended) ordered by (blended desc, doc_id)."""
+    from fastcatsearch3_spark.dataops.similarity import _dot, _dvec, _norm
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    hit_rows = search_index(spark, store, query, k=rerank_k).collect()
+    if not hit_rows:
+        return spark.createDataFrame(
+            [], "doc_id long, score double, cosine double, blended double"
+        )
+    hits = spark.createDataFrame(
+        hit_rows, "doc_id long, score double"
+    )
+    ids = [r["doc_id"] for r in hit_rows]
+    cand = (
+        emb.where(F.col("vec_id").isin(ids))
+        .select(
+            F.col("vec_id").alias("doc_id"), _dvec("embedding").alias("vec")
+        )
+    )
+    probe = (
+        emb.where(F.col("vec_id") == probe_id)
+        .select(_dvec("embedding").alias("qvec"))
+    )
+    cos = _dot("vec", "qvec") / (_norm("vec") * _norm("qvec"))
+    return (
+        cand.crossJoin(F.broadcast(probe))
+        .join(F.broadcast(hits), "doc_id")
+        .withColumn("cosine", cos)
+        .select(
+            "doc_id",
+            "score",
+            "cosine",
+            (F.lit(alpha) * F.col("score")
+             + F.lit(1.0 - alpha) * F.col("cosine")).alias("blended"),
+        )
+        .orderBy(F.desc("blended"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def search_collections(
     spark: SparkSession,
     stores: dict[str, object],  # name -> IndexStore

@@ -261,3 +261,41 @@ def test_search_many_applies_deletes(spark, tmp_path):
     ).toPandas()
     want = search_index(spark, col.store, "spark merge", k=10).toPandas()
     assert got["doc_id"].tolist() == want["doc_id"].tolist() == [2]
+
+
+def test_hybrid_search_blend(spark):
+    """alpha=1 reduces to BM25 ranking (over docs WITH embeddings);
+    alpha=0 ranks purely by cosine; blended is the exact affine mix."""
+    import tempfile
+
+    import numpy as np
+
+    from fastcatsearch3_spark.config import EngineConfig
+    from fastcatsearch3_spark.index import IndexStore
+    from fastcatsearch3_spark.operators.build import build_index
+    from fastcatsearch3_spark.operators.ingest import load_documents
+    from fastcatsearch3_spark.plans.search import hybrid_search
+
+    cfg = EngineConfig(num_shards=4)
+    corpus = load_documents(spark, "/root/testdata/sf0.001")
+    root = tempfile.mkdtemp(prefix="fcs3_hybrid_")
+    build_index(spark, corpus, root, cfg)
+    store = IndexStore(root)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    lex = hybrid_search(
+        spark, store, "spark merge", emb, probe_id=0, k=10, alpha=1.0
+    ).toPandas()
+    assert (lex["blended"] == lex["score"]).all()
+    # BM25-descending order preserved at alpha=1
+    assert (np.diff(lex["score"].to_numpy()) <= 1e-12).all()
+
+    mid = hybrid_search(
+        spark, store, "spark merge", emb, probe_id=0, k=10, alpha=0.25
+    ).toPandas()
+    np.testing.assert_allclose(
+        mid["blended"].to_numpy(),
+        0.25 * mid["score"].to_numpy() + 0.75 * mid["cosine"].to_numpy(),
+        atol=1e-12,
+    )
+    assert (mid["cosine"].abs() <= 1.0 + 1e-9).all()
