@@ -919,6 +919,19 @@ def _q_hybrid_search(spark, sf_dir):
     return out.select("doc_id", _e4("blended"))
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    # reciprocal-rank fusion over the same candidates: score-scale-free
+    # combiner (1/(60+lex_rank) + 1/(60+dense_rank))
+    from fastcatsearch3_spark.plans.search import hybrid_search_rrf
+
+    store = _packed_store(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hybrid_search_rrf(
+        spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), emb,
+        probe_id=0, k=_K, rerank_k=100,
+    )
+
+
 def _q_index_stats(spark, sf_dir):
     # build-integrity cross-check: the index's manifest stats (n_docs,
     # avgdl summed map-side during the build) and the merged lexicon's
@@ -1352,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_batch": _q_search_batch,
         "index_stats": _q_index_stats,
         "hybrid_search": _q_hybrid_search,
+        "hybrid_rrf": _q_hybrid_rrf,
         "search_highlight": _q_search_highlight,
         "source_csv": _q_source_csv,
         "source_json": _q_source_json,
@@ -2203,6 +2217,33 @@ scored AS (
   FROM cand c JOIN v ON v.vec_id = c.doc_id CROSS JOIN probe p)
 SELECT doc_id, CAST(round(blended * 10000) AS BIGINT) AS blended_e4
 FROM scored ORDER BY blended DESC, doc_id ASC LIMIT {_K}
+""",
+        # RRF fusion over the same candidate set: ranks are integers, so
+        # both sides order by the rounded rrf to keep ties identical
+        "hybrid_rrf": f"""
+WITH cand AS ({_bm25_sql(_Q_AND2, "AND", 100, order_raw=True,
+                         select_cols="doc_id, score")}),
+v AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings),
+probe AS (SELECT vec AS qvec FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT c.doc_id, c.score,
+         list_sum(list_transform(range(1, 65),
+           i -> v.vec[CAST(i AS INT)] * p.qvec[CAST(i AS INT)]))
+         / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+            * sqrt(list_sum(list_transform(p.qvec, x -> x * x)))) AS cosine
+  FROM cand c JOIN v ON v.vec_id = c.doc_id CROSS JOIN probe p),
+rk AS (SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           lex_rank,
+         CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT)
+           dense_rank
+       FROM scored)
+SELECT doc_id, lex_rank, dense_rank,
+       CAST(round((1.0 / (60 + lex_rank) + 1.0 / (60 + dense_rank))
+                  * 1000000) AS BIGINT) rrf_e6
+FROM rk ORDER BY rrf_e6 DESC, doc_id ASC LIMIT {_K}
 """,
         # index global stats == derived-from-raw-corpus stats
         "index_stats": f"""

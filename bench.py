@@ -126,6 +126,17 @@ def main() -> None:
         ).collect()
         timings["q_batch5"] = round(time.monotonic() - t0, 3)
 
+        # --- hybrid retrieval (BM25 + dense re-rank) --------------------
+        from fastcatsearch3_spark.plans.search import hybrid_search
+
+        emb_h = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        t0 = time.monotonic()
+        hybrid_search(
+            spark, store, ParsedQuery(terms=["spark", "merge"], op="AND"),
+            emb_h, probe_id=0, k=10, rerank_k=100,
+        ).collect()
+        timings["q_hybrid"] = round(time.monotonic() - t0, 3)
+
         # --- declarative BM25 path for comparison ----------------------
         t0 = time.monotonic()
         sql_bm25.bm25_topk(corpus, ["spark", "merge"], k=10, cfg=cfg).collect()

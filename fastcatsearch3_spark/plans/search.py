@@ -1256,6 +1256,69 @@ def hybrid_search(
     )
 
 
+def hybrid_search_rrf(
+    spark: SparkSession,
+    store,  # fastcatsearch3_spark.index.IndexStore
+    query: str | ParsedQuery,
+    emb: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    rerank_k: int = 100,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion variant of hybrid retrieval:
+    ``rrf = 1/(c + lexical_rank) + 1/(c + dense_rank)`` over the BM25
+    candidate set — the score-scale-free combiner (Cormack et al.'s RRF,
+    c=60 conventional), preferable to the affine blend when the two score
+    distributions are incomparable. Ranks are dense over the candidate
+    relation (≤ rerank_k rows), so both windows are result-sized. Output:
+    (doc_id, lex_rank, dense_rank, rrf_e6) by (rrf desc, doc_id asc) —
+    rrf exported e6 because values live in [0, 2/(c+1)]."""
+    from pyspark.sql import Window as W
+
+    from fastcatsearch3_spark.dataops.similarity import _dot, _dvec, _norm
+
+    hit_rows = search_index(spark, store, query, k=rerank_k).collect()
+    if not hit_rows:
+        return spark.createDataFrame(
+            [], "doc_id long, lex_rank int, dense_rank int, rrf_e6 long"
+        )
+    hits = spark.createDataFrame(hit_rows, "doc_id long, score double")
+    ids = [r["doc_id"] for r in hit_rows]
+    cand = emb.where(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("doc_id"), _dvec("embedding").alias("vec")
+    )
+    probe = (
+        emb.where(F.col("vec_id") == probe_id)
+        .select(_dvec("embedding").alias("qvec"))
+    )
+    cos = _dot("vec", "qvec") / (_norm("vec") * _norm("qvec"))
+    scored = (
+        cand.crossJoin(F.broadcast(probe))
+        .join(F.broadcast(hits), "doc_id")
+        .select("doc_id", "score", cos.alias("cosine"))
+    )
+    lex_w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    den_w = W.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    return (
+        scored.withColumn("lex_rank", F.row_number().over(lex_w))
+        .withColumn("dense_rank", F.row_number().over(den_w))
+        .withColumn(
+            "rrf",
+            1.0 / (F.lit(c) + F.col("lex_rank"))
+            + 1.0 / (F.lit(c) + F.col("dense_rank")),
+        )
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(F.col("rrf") * 1e6).cast("long").alias("rrf_e6"),
+        )
+        .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def search_collections(
     spark: SparkSession,
     stores: dict[str, object],  # name -> IndexStore
