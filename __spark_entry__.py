@@ -544,6 +544,19 @@ def _q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir), CFG)
 
 
+def _q_char_entropy(spark, sf_dir):
+    # Shannon entropy of the character distribution (degenerate-text
+    # signal): explode → hash agg → per-doc rollup, all codegen
+    return TS.char_entropy(_docs(spark, sf_dir))
+
+
+def _q_ann_quantized(spark, sf_dir):
+    # int8-style scalar quantization + exact rescore: the 4×-less-
+    # bandwidth first-pass scan for embedding search
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.quantized_ann_topk(emb, probe_id=0, k=_K, rescore_mult=4)
+
+
 def _q_repetition_stats(spark, sf_dir):
     # Gopher-style repetition quality signals (top-bigram share, duplicate
     # trigram fraction) — two hash aggregates over the shingle stream
@@ -1343,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "repetition_stats": _q_repetition_stats,
+        "char_entropy": _q_char_entropy,
+        "ann_quantized_topk": _q_ann_quantized,
         "doc_fingerprint": _q_fingerprint,
         "binary_meta": _q_binary_meta,
         "multimodal_features": _q_multimodal_features,
@@ -1980,6 +1995,45 @@ w AS (SELECT doc_id, n,
 SELECT doc_id, 'text' AS modality, n AS n_bytes,
        CAST(w AS INT) AS width, CAST((n + w - 1) // w AS INT) AS height
 FROM w
+""",
+        # char entropy: H = log2(n) - Σ c·log2(c) / n (algebraic form —
+        # both sides avoid per-char p=c/n division)
+        "char_entropy": """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) ch FROM documents),
+c AS (SELECT doc_id, ch, count(*) c FROM ch WHERE ch <> ''
+      GROUP BY doc_id, ch),
+p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n, sum(c * log2(c)) clogc
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n AS n_chars,
+       CAST(round((log2(n) - clogc / n) * 10000) AS BIGINT) entropy_e4
+FROM p
+""",
+        # quantized ANN: q = round(127·x / max|x|), candidates = top 4k by
+        # quantized cosine, exact rescore on candidates only
+        "ann_quantized_topk": f"""
+WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) vec
+           FROM embeddings),
+m AS (SELECT vec_id, vec,
+        list_max(list_transform(vec, x -> abs(x))) mx FROM v),
+q AS (SELECT vec_id, vec,
+        list_transform(vec, x -> round(127.0 * x / mx)) q
+      FROM m WHERE mx > 0),
+probe AS (SELECT q AS pq, vec AS qvec FROM q WHERE vec_id = 0),
+cand AS (SELECT q.vec_id, q.vec, p.qvec,
+           list_sum(list_transform(range(1, 65),
+             i -> q.q[CAST(i AS INT)] * p.pq[CAST(i AS INT)]))
+           / (sqrt(list_sum(list_transform(q.q, x -> x * x)))
+              * sqrt(list_sum(list_transform(p.pq, x -> x * x)))) qsim
+         FROM q CROSS JOIN probe p WHERE q.vec_id <> 0
+         ORDER BY qsim DESC, vec_id ASC LIMIT {4 * _K})
+SELECT vec_id,
+  CAST(round((list_sum(list_transform(range(1, 65),
+    i -> vec[CAST(i AS INT)] * qvec[CAST(i AS INT)]))
+  / (sqrt(list_sum(list_transform(vec, x -> x * x)))
+     * sqrt(list_sum(list_transform(qvec, x -> x * x))))) * 10000)
+    AS BIGINT) sim_e4
+FROM cand ORDER BY sim_e4 DESC, vec_id ASC LIMIT {_K}
 """,
         # resize: nearest-neighbor sample of the stub byte image (width =
         # floor(sqrt(n)), row-major, clamped at n-1); text is ASCII so

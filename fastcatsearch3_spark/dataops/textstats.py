@@ -144,6 +144,32 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     return out.select("doc_id", scrubbed.alias("text"), "n_pii")
 
 
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, entropy_e4): Shannon entropy (bits/char) of the
+    document's character distribution — a standard degenerate-text signal
+    (near-0 = one repeated char; English prose ≈ 4-4.3 bits). Shape at
+    scale: one explode to (doc_id, char) rows (∝ corpus bytes, the same
+    class as the tokenize pass), one hash aggregate with map-side
+    combine, one per-doc rollup — all JVM-side codegen, no Python."""
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .where(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+    )
+    # H = log2(n) - (Σ c·log2 c)/n  — algebraic form avoids per-row p=c/n
+    ent = F.log2("n") - F.col("clogc") / F.col("n")
+    return per_doc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.round(ent * 10000).cast("long").alias("entropy_e4"),
+    )
+
+
 def repetition_stats(
     docs: DataFrame, cfg: EngineConfig | None = None
 ) -> DataFrame:

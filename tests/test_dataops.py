@@ -196,6 +196,35 @@ def test_dedup_against_index_equals_direct(spark, tmp_path):
     assert direct.reset_index(drop=True).equals(via_idx.reset_index(drop=True))
 
 
+def test_char_entropy_planted(spark):
+    """'aaaa' → 0 bits; 'ab' → 1 bit; 'abcd' → 2 bits."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd")], "doc_id long, text string"
+    )
+    out = TS.char_entropy(docs).toPandas().set_index("doc_id")
+    assert out.loc[1, "entropy_e4"] == 0 and out.loc[1, "n_chars"] == 4
+    assert out.loc[2, "entropy_e4"] == 10000
+    assert out.loc[3, "entropy_e4"] == 20000
+
+
+def test_quantized_ann_subset_of_brute_force(spark):
+    """Quantized candidates rescore EXACTLY, so every returned (vec_id,
+    sim_e4) must appear in the brute-force relation with the same score;
+    at rescore_mult covering the corpus, results equal brute force."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bf = SIM.brute_force_topk(emb, probe_id=0, k=10).toPandas()
+    qz = SIM.quantized_ann_topk(emb, probe_id=0, k=10, rescore_mult=4).toPandas()
+    bf_all = SIM.brute_force_topk(emb, probe_id=0, k=10_000).toPandas()
+    exact = dict(zip(bf_all["vec_id"], bf_all["sim_e4"]))
+    assert all(exact[v] == s for v, s in zip(qz["vec_id"], qz["sim_e4"]))
+    # with the candidate pool = whole corpus, quantization can't miss
+    full = SIM.quantized_ann_topk(
+        emb, probe_id=0, k=10, rescore_mult=10_000
+    ).toPandas()
+    assert full["vec_id"].tolist() == bf["vec_id"].tolist()
+    assert full["sim_e4"].tolist() == bf["sim_e4"].tolist()
+
+
 def test_repetition_stats_planted(spark):
     """'a b a b a b' : bigrams [ab,ba,ab,ba,ab] → top 3/5; trigrams
     [aba,bab,aba,bab] → 2 distinct of 4 → dup 1/2. A no-repeat doc
