@@ -544,6 +544,14 @@ def _q_fingerprint(spark, sf_dir):
     return TS.fingerprint(_docs(spark, sf_dir), CFG)
 
 
+def _q_tfidf(spark, sf_dir):
+    # classic TF-IDF similarity (the reference's pre-BM25 scoring family)
+    # on the declarative path — same plan shape as bm25_sql, different
+    # scoring expression
+    out = sql_bm25.tfidf_topk(_corpus(spark, sf_dir), _Q_AND2, k=_K, cfg=CFG)
+    return out.select("doc_id", _e4())
+
+
 def _q_char_entropy(spark, sf_dir):
     # Shannon entropy of the character distribution (degenerate-text
     # signal): explode → hash agg → per-doc rollup, all codegen
@@ -1357,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "repetition_stats": _q_repetition_stats,
         "char_entropy": _q_char_entropy,
+        "tfidf_topk": _q_tfidf,
         "ann_quantized_topk": _q_ann_quantized,
         "doc_fingerprint": _q_fingerprint,
         "binary_meta": _q_binary_meta,
@@ -1995,6 +2004,27 @@ w AS (SELECT doc_id, n,
 SELECT doc_id, 'text' AS modality, n AS n_bytes,
        CAST(w AS INT) AS width, CAST((n + w - 1) // w AS INT) AS height
 FROM w
+""",
+        # classic TF-IDF: sqrt(tf) · (1 + ln(N/(df+1)))² · 1/sqrt(dl)
+        "tfidf_topk": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+ndocs AS (SELECT CAST(count(*) AS BIGINT) n FROM dl),
+qtf AS (SELECT t.doc_id, t.term, t.tf, l.dl
+        FROM tf t JOIN dl l USING (doc_id)
+        WHERE t.term IN ('spark', 'merge')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id,
+         sqrt(q.tf)
+           * (1.0 + ln((SELECT n FROM ndocs) / (d.df + 1.0)))
+           * (1.0 + ln((SELECT n FROM ndocs) / (d.df + 1.0)))
+           / sqrt(q.dl) AS partial
+  FROM qtf q JOIN dfq d USING (term)),
+agg AS (SELECT doc_id, sum(partial) score, count(*) nt FROM scored
+        GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) score_e4 FROM agg
+WHERE nt = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
 """,
         # char entropy: H = log2(n) - Σ c·log2(c) / n (algebraic form —
         # both sides avoid per-char p=c/n division)

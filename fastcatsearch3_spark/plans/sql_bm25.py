@@ -105,6 +105,59 @@ def bm25_scores(
     return agg.select("doc_id", "score")
 
 
+def tfidf_topk(
+    corpus: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    op: str = "AND",
+    cfg: EngineConfig | None = None,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Classic TF-IDF similarity (the Lucene TFIDFSimilarity family the
+    reference's pre-BM25 scoring belongs to [M]; BM25 stays the engine
+    default per the north rule):
+
+        score(q, d) = Σ_t  √tf(t,d) · (1 + ln(N / (df(t) + 1)))² · 1/√dl(d)
+
+    Same declarative plan shape as :func:`bm25_scores` — only the partial
+    expression differs, which is the point: alternative similarities are
+    one scoring expression away on this path."""
+    cfg = cfg or EngineConfig()
+    if not terms:
+        raise ValueError("empty term list")
+    terms = list(dict.fromkeys(terms))
+    tf = tf if tf is not None else tf_table(corpus, cfg)
+
+    ndocs = tf.groupBy("doc_id").count().agg(
+        F.count("*").alias("n_docs")
+    )
+    qtf = tf.where(F.col("term").isin(terms))
+    dfreq = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "idf", 1.0 + F.log(F.col("n_docs") / (F.col("df") + 1.0))
+        )
+        .withColumn(
+            "partial",
+            F.sqrt(F.col("tf"))
+            * F.col("idf") * F.col("idf")
+            / F.sqrt(F.col("dl")),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("partial").alias("score"), F.count("term").alias("nt")
+    )
+    if op == "AND":
+        agg = agg.where(F.col("nt") == len(terms))
+    return (
+        agg.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bm25_topk(
     corpus: DataFrame,
     terms: list[str],
