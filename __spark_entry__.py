@@ -552,6 +552,12 @@ def _q_tfidf(spark, sf_dir):
     return out.select("doc_id", _e4())
 
 
+def _q_unigram_logprob(spark, sf_dir):
+    # corpus-relative typicality: mean token log-prob under the corpus
+    # unigram distribution (rare-token soup scores very negative)
+    return TS.unigram_logprob(_docs(spark, sf_dir), CFG)
+
+
 def _q_char_entropy(spark, sf_dir):
     # Shannon entropy of the character distribution (degenerate-text
     # signal): explode → hash agg → per-doc rollup, all codegen
@@ -1365,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "repetition_stats": _q_repetition_stats,
         "char_entropy": _q_char_entropy,
+        "unigram_logprob": _q_unigram_logprob,
         "tfidf_topk": _q_tfidf,
         "ann_quantized_topk": _q_ann_quantized,
         "doc_fingerprint": _q_fingerprint,
@@ -2025,6 +2032,17 @@ agg AS (SELECT doc_id, sum(partial) score, count(*) nt FROM scored
         GROUP BY doc_id)
 SELECT doc_id, CAST(round(score * 10000) AS BIGINT) score_e4 FROM agg
 WHERE nt = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # unigram typicality: p(t) = cf/Σcf over the analyzed stream
+        "unigram_logprob": f"""
+WITH tf AS ({_TF}),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(cf) AS BIGINT) total_cf FROM cf)
+SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) n_toks,
+       CAST(round(sum(t.tf * ln(c.cf * 1.0 / (SELECT total_cf FROM tot)))
+                  / sum(t.tf) * 10000) AS BIGINT) avg_logprob_e4
+FROM tf t JOIN cf c USING (term)
+GROUP BY t.doc_id
 """,
         # char entropy: H = log2(n) - Σ c·log2(c) / n (algebraic form —
         # both sides avoid per-char p=c/n division)

@@ -144,6 +144,46 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     return out.select("doc_id", scrubbed.alias("text"), "n_pii")
 
 
+def unigram_logprob(
+    docs: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """(doc_id, n_toks, avg_logprob_e4): mean log-probability of the
+    document's tokens under the corpus unigram distribution
+    (p(t) = cf(t) / Σcf) — the LM-free "typicality" quality signal (a
+    very negative mean = rare-token soup; near the corpus entropy =
+    ordinary text). Shape at scale: the (doc_id, term, tf) relation is
+    the index build's own tf pass; corpus probabilities are one term-
+    keyed aggregate broadcast back onto it."""
+    cfg = cfg or EngineConfig()
+    from fastcatsearch3_spark.plans.sql_bm25 import tf_table
+
+    docs_c = docs.withColumnRenamed("text", "content")
+    tf = tf_table(docs_c, cfg)
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total_cf"))
+    return (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_toks"),
+            (
+                F.sum(
+                    F.col("tf") * F.log(F.col("cf") / F.col("total_cf"))
+                )
+                / F.sum("tf")
+            ).alias("alp"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("alp") * 10000).cast("long").alias(
+                "avg_logprob_e4"
+            ),
+        )
+    )
+
+
 def char_entropy(docs: DataFrame) -> DataFrame:
     """(doc_id, n_chars, entropy_e4): Shannon entropy (bits/char) of the
     document's character distribution — a standard degenerate-text signal

@@ -196,6 +196,19 @@ def test_dedup_against_index_equals_direct(spark, tmp_path):
     assert direct.reset_index(drop=True).equals(via_idx.reset_index(drop=True))
 
 
+def test_unigram_logprob_planted(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b")], "doc_id long, text string"
+    )
+    out = TS.unigram_logprob(docs).toPandas().set_index("doc_id")
+    # cf: a=4, b=1, total=5
+    assert out.loc[1, "avg_logprob_e4"] == round(math.log(4 / 5) * 10000)
+    want2 = (math.log(4 / 5) + math.log(1 / 5)) / 2
+    assert out.loc[2, "avg_logprob_e4"] == round(want2 * 10000)
+
+
 def test_char_entropy_planted(spark):
     """'aaaa' → 0 bits; 'ab' → 1 bit; 'abcd' → 2 bits."""
     docs = spark.createDataFrame(
