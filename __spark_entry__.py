@@ -304,6 +304,18 @@ def _q_tf_table(spark, sf_dir):  # I-3 (map side): posting-entry relation
     )
 
 
+def _q_tf_filtered_analyzer(spark, sf_dir):
+    # F-5 with an oracle (was goldens-only): stopword + min-length token
+    # filters applied inside the analyzer chain — the DuckDB mirror drops
+    # the same tokens post-tokenization
+    cfg_f = EngineConfig(
+        stopwords=("the", "and", "spark"), min_token_len=3
+    )
+    return sql_bm25.tf_table(_corpus(spark, sf_dir), cfg_f).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
 def _q_tf_code_identifiers(spark, sf_dir):  # F-4: camelCase/snake_case split
     # deterministic code-identifier prefix per doc → the analyzer must
     # split parseIndexBuffer/merge_segment exactly like the oracle's
@@ -1338,6 +1350,7 @@ def _q_stream_window(spark, sf_dir):  # ST-3: the STREAM-capable watermarked
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tf_table": _q_tf_table,
+        "tf_filtered_analyzer": _q_tf_filtered_analyzer,
         "lexicon": _q_lexicon,
         "doclens": _q_doclens,
         "corpus_sha256": _q_corpus_sha256,
@@ -1849,6 +1862,10 @@ FROM h
 def oracle_sql() -> dict[str, str]:
     return {
         "tf_table": _TF,
+        "tf_filtered_analyzer": (
+            f"SELECT doc_id, term, tf FROM ({_TF}) WHERE length(term) >= 3"
+            " AND term NOT IN ('the', 'and', 'spark')"
+        ),
         "lexicon": (
             f"SELECT term, CAST(count(*) AS BIGINT) AS df,"
             f" CAST(sum(tf) AS BIGINT) AS cf FROM ({_TF}) GROUP BY term"
