@@ -735,6 +735,19 @@ def _q_bm25_proximity(spark, sf_dir):
 
 _Q_NESTED = "((spark merge) OR (vector stream)) -slow"
 
+# DuckDB doc filter for the exact phrase "table hash" (consecutive
+# positions) — shared by the bm25_phrase oracle and the batch oracle
+_PH_TABLE_HASH = """doc_id IN (
+  WITH pt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') arr
+              FROM documents),
+  ptok AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)+1),
+                   i -> {'p': i, 'term': arr[CAST(i AS INT)]}),
+                   recursive := true)
+           FROM pt)
+  SELECT DISTINCT a.doc_id
+  FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'table' AND b.term = 'hash')"""
+
 
 def _q_bm25_nested(spark, sf_dir):
     # nested boolean clause tree (Q-1 nesting): OR of ANDs — not
@@ -985,9 +998,11 @@ def _q_index_stats(spark, sf_dir):
 
 
 def _q_search_batch(spark, sf_dir):
-    # batch query execution (throughput mode): three queries share one
-    # postings scan and one kernel pass; per-query top-k via one window
-    store = _packed_store(spark, sf_dir)
+    # batch query execution (throughput mode): five queries — flat AND/OR/
+    # NOT plus a phrase and a nested clause tree — share one postings scan
+    # (positions fetched only for the phrase's terms) and one kernel pass;
+    # per-query top-k via one window
+    store = _packed_store(spark, sf_dir, cfg=EngineConfig(store_positions=True))
     out = search_many(
         spark,
         store,
@@ -997,6 +1012,8 @@ def _q_search_batch(spark, sf_dir):
             "q_not": ParsedQuery(
                 terms=["table"], not_terms=["hash"], op="AND"
             ),
+            "q_phrase": '"table hash"',
+            "q_tree": _Q_NESTED,
         },
         k=_K,
     )
@@ -2228,16 +2245,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
         # (positions = 1-based ordinals of the analyzed tokens)
         "bm25_phrase": _bm25_sql(
             ["table", "hash"], "AND", _K, order_raw=True,
-            extra_where="""doc_id IN (
-  WITH pt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') arr
-              FROM documents),
-  ptok AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)+1),
-                   i -> {'p': i, 'term': arr[CAST(i AS INT)]}),
-                   recursive := true)
-           FROM pt)
-  SELECT DISTINCT a.doc_id
-  FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-  WHERE a.term = 'table' AND b.term = 'hash')""",
+            extra_where=_PH_TABLE_HASH,
         ),
         # proximity '"table hash"~1': ordered window — for two terms the
         # engine's start-window semantics reduce exactly to position
@@ -2399,6 +2407,13 @@ SELECT 'q_or' AS query_id, doc_id, score_e4 FROM ({_bm25_sql(
 UNION ALL
 SELECT 'q_not' AS query_id, doc_id, score_e4 FROM ({_bm25_sql(
     ["table"], "AND", _K, not_terms=["hash"], order_raw=True)})
+UNION ALL
+SELECT 'q_phrase' AS query_id, doc_id, score_e4 FROM ({_bm25_sql(
+    ["table", "hash"], "AND", _K, order_raw=True,
+    extra_where=_PH_TABLE_HASH)})
+UNION ALL
+SELECT 'q_tree' AS query_id, doc_id, score_e4 FROM ({_nested_sql(
+    _Q_NESTED, _K)})
 """,
         # federated multi-collection merge: each lang slice is its own
         # corpus with its own stats; raw scores merge before rounding so

@@ -34,7 +34,7 @@ BM25 (k1=1.2, b=0.75 pinned in EngineConfig; BASELINE.md):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -73,10 +73,14 @@ class TermPostings:
     # field-qualified term normalizes against ITS field's avgdl; None →
     # the caller's global (content) avgdl
     avgdl: float | None = None
-    meta: PostingMeta = field(init=False)
+    # pass a pre-decoded meta to amortize header decoding when the same
+    # blob is scored under many queries in one batch (search_many); left
+    # None, it is decoded from the blob as before
+    meta: PostingMeta | None = None
 
     def __post_init__(self):
-        self.meta = decode_meta(self.blob)
+        if self.meta is None:
+            self.meta = decode_meta(self.blob)
 
     def adl(self, global_avgdl: float) -> float:
         return self.avgdl if self.avgdl is not None else global_avgdl

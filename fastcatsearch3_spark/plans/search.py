@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 
 from fastcatsearch3_spark.config import EngineConfig
 from fastcatsearch3_spark.plans.query import ParsedQuery, parse_query
-from fastcatsearch3_spark.plans.scoring import TermPostings, bm25_idf, score_group
+from fastcatsearch3_spark.plans.scoring import (
+    TermPostings,
+    bm25_idf,
+    decode_meta,
+    score_group,
+)
 
 KERNEL_SCHEMA = "segment_id int, shard int, docno bigint, score double"
 
@@ -974,6 +979,7 @@ def search_many(
     k: int = 10,
     mode: str = "bmw",
     apply_deletes: bool = True,
+    allow_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Batch query execution — the engine's throughput mode. The reference
     serves one SearchJob per request (server job service [K]); offline
@@ -986,11 +992,18 @@ def search_many(
     query's, amortized over the batch.
 
     Output: (query_id, doc_id, score), per-query (score desc, doc_id asc)
-    top-k. Flat AND/OR/NOT queries with synonym groups / msm / boosts /
-    field terms; tombstoned docs are excluded via the epoch denied mask
-    cogrouped into the kernel, exactly like ``search_index``. Phrases,
-    prefix expansion, clause trees and allow-filter masks stay on the
-    per-query ``search_index`` path."""
+    top-k. The FULL query surface is batchable: flat AND/OR/NOT, synonym
+    groups, msm, caret boosts, field terms, phrases / proximity (the
+    positions sidecar is fetched only for phrase terms), nested clause
+    trees, and prefix terms (expanded against the lexicon per query before
+    spec build, exactly like ``search_index``). Posting-blob metadata is
+    decoded once per (segment, shard, term) and shared across every query
+    in the batch. Tombstoned docs are excluded via the epoch denied mask
+    cogrouped into the kernel.
+
+    ``allow_doc_ids``: optional allow-filter. With a ``query_id`` column,
+    each row restricts only that query (other queries stay unfiltered);
+    without one, the filter applies to every query in the batch."""
     cfg = store.config()
     stats = store.stats()
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -1001,12 +1014,13 @@ def search_many(
     parsed: dict[str, ParsedQuery] = {}
     for qid, q in queries.items():
         pq = parse_query(q, cfg) if isinstance(q, str) else q
-        if pq.tree is not None or pq.phrases or any(
-            t.endswith("*") for t in pq.terms
-        ):
+        pq = _expand_prefixes(spark, store, pq, cfg)
+        if pq is None:  # an AND'd prefix matched nothing in the lexicon
+            continue
+        if pq.phrases and pq.op != "AND" and pq.tree is None:
             raise ValueError(
-                f"query {qid!r}: phrases/trees/prefix terms are not "
-                "batchable — use search_index for those"
+                f"query {qid!r}: phrase queries are supported under AND "
+                "semantics"
             )
         parsed[qid] = pq
 
@@ -1023,6 +1037,7 @@ def search_many(
     # per-query spec, mirroring search_index's presence gates
     specs: list[tuple] = []
     fetch: set[str] = set()
+    phrase_terms: set[str] = set()
     for qid, pq in parsed.items():
         terms = [t for t in pq.terms if t in dfmap]
         if not terms:
@@ -1032,7 +1047,7 @@ def search_many(
             if pq.groups is not None
             else None
         )
-        if pq.op == "AND":
+        if pq.op == "AND" and pq.tree is None:
             if tg is None:
                 if len(terms) < len(pq.terms):
                     continue  # a required term is unindexed → no results
@@ -1040,7 +1055,7 @@ def search_many(
                 present = {g for gs in tg.values() for g in gs}
                 if len(present) < pq.n_groups:
                     continue
-        if pq.msm is not None and pq.op == "OR":
+        if pq.msm is not None and pq.op == "OR" and pq.tree is None:
             n_present = (
                 len({g for gs in tg.values() for g in gs}) if tg else len(terms)
             )
@@ -1050,11 +1065,24 @@ def search_many(
         for t, w in (pq.boosts or {}).items():
             if t in qidf:
                 qidf[t] *= w
+        kept = [
+            (ph, sl)
+            for ph, sl in zip(pq.phrases, pq.phrase_slops)
+            if all(t in dfmap for t in ph)
+        ]
+        if pq.phrases and len(kept) < len(pq.phrases):
+            continue  # a phrase containing an unindexed term never matches
+        phrases = [ph for ph, _ in kept] or None
+        slops = [sl for _, sl in kept] or None
+        if phrases:
+            phrase_terms.update(t for ph in phrases for t in ph)
         nset = {t for t in pq.not_terms if t in dfmap}
         specs.append(
             (
                 qid, qidf, nset, pq.op, len(terms), tg,
                 pq.n_groups if tg is not None else None, pq.msm,
+                phrases, slops, pq.tree,
+                set(terms) if pq.tree is not None else None,
             )
         )
         fetch.update(qidf)
@@ -1062,50 +1090,125 @@ def search_many(
     if not specs:
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
 
-    cand = (
-        store.postings(spark)
-        .where(F.col("term").isin(sorted(fetch)))
-        .select("segment_id", "shard", "term", "postings")
-    )
+    postings_df = store.postings(spark)
+    if phrase_terms and "positions" not in postings_df.columns:
+        raise ValueError(
+            "phrase query against an index without positions — rebuild with "
+            "EngineConfig(store_positions=True)"
+        )
+    sel = [F.col(c) for c in ("segment_id", "shard", "term", "postings")]
+    if phrase_terms:
+        # positions sidecar bytes flow to the kernel ONLY for phrase
+        # terms — other terms carry NULL so the shuffle stays postings-sized
+        sel.append(
+            F.when(
+                F.col("term").isin(sorted(phrase_terms)), F.col("positions")
+            ).alias("positions")
+        )
+    cand = postings_df.where(F.col("term").isin(sorted(fetch))).select(*sel)
     k1, b = cfg.k1, cfg.b
+
+    # allow-filter bookkeeping: which queries have an allow set in force
+    # (shard-locally, "no allow rows here" must mean "nothing passes" for
+    # exactly those queries — and "unfiltered" for the rest)
+    per_query_allow = (
+        allow_doc_ids is not None and "query_id" in allow_doc_ids.columns
+    )
+    if per_query_allow:
+        allowed_qids = {
+            r[0]
+            for r in allow_doc_ids.select("query_id").distinct().collect()
+        }
+    elif allow_doc_ids is not None:
+        allowed_qids = {qid for qid, *_ in specs}
+    else:
+        allowed_qids = set()
+
+    _EMPTY_BATCH = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=object),
+            "segment_id": pd.Series([], dtype="int32"),
+            "shard": pd.Series([], dtype="int32"),
+            "docno": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+        }
+    )
 
     def _score_batch(pdf: pd.DataFrame, mask_pdf: pd.DataFrame | None) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype=object),
-                    "segment_id": pd.Series([], dtype="int32"),
-                    "shard": pd.Series([], dtype="int32"),
-                    "docno": pd.Series([], dtype="int64"),
-                    "score": pd.Series([], dtype="float64"),
-                }
-            )
+            return _EMPTY_BATCH
         seg = int(pdf["segment_id"].iloc[0])
         shard = int(pdf["shard"].iloc[0])
         deny = None
+        allow_by_qid: dict[str, np.ndarray] = {}
+        allow_global = None
         if mask_pdf is not None and len(mask_pdf):
-            deny = np.sort(
-                mask_pdf["docno"].to_numpy(np.int64)
-            ).astype(np.uint64)
-        blobs = {t: bytes(bl) for t, bl in zip(pdf["term"], pdf["postings"])}
+            d = mask_pdf.loc[mask_pdf["kind"] == -1, "docno"].to_numpy(np.int64)
+            if d.size:
+                deny = np.sort(d).astype(np.uint64)
+            al = mask_pdf.loc[mask_pdf["kind"] == 1]
+            if len(al):
+                if per_query_allow:
+                    for aq, grp in al.groupby("query_id"):
+                        allow_by_qid[aq] = np.sort(
+                            grp["docno"].to_numpy(np.int64)
+                        ).astype(np.uint64)
+                else:
+                    allow_global = np.sort(
+                        al["docno"].to_numpy(np.int64)
+                    ).astype(np.uint64)
+        _no_allow = np.zeros(0, dtype=np.uint64)
+        pos_blobs = (
+            pdf["positions"] if "positions" in pdf.columns else [None] * len(pdf)
+        )
+        # decode each blob's meta ONCE for the whole batch; per-query
+        # TermPostings share the decoded header (idf differs per query)
+        blobs: dict[str, tuple[bytes, bytes | None, "PostingMeta"]] = {}
+        for t, bl, pbl in zip(pdf["term"], pdf["postings"], pos_blobs):
+            raw = bytes(bl)
+            blobs[t] = (
+                raw,
+                bytes(pbl) if pbl is not None else None,
+                decode_meta(raw),
+            )
+
+        def make_tp(t: str, idf: float) -> TermPostings | None:
+            ent = blobs.get(t)
+            if ent is None:
+                return None
+            raw, pbl, meta = ent
+            return TermPostings(
+                term=t, idf=idf, blob=raw, pos_blob=pbl,
+                avgdl=term_avgdl.get(t), meta=meta,
+            )
+
         outs = []
-        for qid, qidf, nset, op, n_req, tg, n_groups, msm in specs:
+        for (qid, qidf, nset, op, n_req, tg, n_groups, msm,
+             phrases, slops, tree, tree_pos_terms) in specs:
             pos_tps, neg_tps, pos_groups = [], [], []
+            by_term: dict[str, TermPostings] = {}
             for t, idf in qidf.items():
-                bl = blobs.get(t)
-                if bl is None:
+                tp = make_tp(t, idf)
+                if tp is None:
                     continue
-                pos_tps.append(
-                    TermPostings(
-                        term=t, idf=idf, blob=bl,
-                        avgdl=term_avgdl.get(t),
-                    )
-                )
+                by_term[t] = tp
+                pos_tps.append(tp)
                 if tg is not None:
                     pos_groups.append(tg[t])
             if not pos_tps:
                 continue
-            if op == "AND":
+            phrase_tps = None
+            if phrases:
+                phrase_tps = []
+                missing = False
+                for ph in phrases:
+                    if any(t not in by_term for t in ph):
+                        missing = True  # phrase term absent in this shard
+                        break
+                    phrase_tps.append([by_term[t] for t in ph])
+                if missing:
+                    continue
+            if op == "AND" and tree is None:
                 covered = (
                     len({g for gs in pos_groups for g in gs})
                     if tg is not None
@@ -1115,14 +1218,28 @@ def search_many(
                 if covered < required:
                     continue
             for t in nset:
-                bl = blobs.get(t)
-                if bl is not None:
-                    neg_tps.append(TermPostings(term=t, idf=0.0, blob=bl))
+                tp = make_tp(t, 0.0)
+                if tp is not None:
+                    if tree is not None:
+                        by_term[t] = tp
+                        pos_tps.append(tp)
+                    else:
+                        neg_tps.append(tp)
+            allow = None
+            if qid in allowed_qids:
+                allow = (
+                    allow_by_qid.get(qid, _no_allow)
+                    if per_query_allow
+                    else (allow_global
+                          if allow_global is not None else _no_allow)
+                )
             docnos, scores = score_group(
                 pos_tps, k=k, op=op, mode=mode, k1=k1, b=b, avgdl=avgdl,
-                not_terms=neg_tps, deny_docnos=deny,
+                not_terms=neg_tps, allow_docnos=allow, deny_docnos=deny,
                 groups=pos_groups if tg is not None else None,
                 n_groups=n_groups, msm=msm,
+                phrase_tps=phrase_tps, phrase_slops=slops,
+                tree=tree, tree_pos_terms=tree_pos_terms,
             )
             if docnos.size:
                 outs.append(
@@ -1137,19 +1254,43 @@ def search_many(
                     )
                 )
         if not outs:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype=object),
-                    "segment_id": pd.Series([], dtype="int32"),
-                    "shard": pd.Series([], dtype="int32"),
-                    "docno": pd.Series([], dtype="int64"),
-                    "score": pd.Series([], dtype="float64"),
-                }
-            )
+            return _EMPTY_BATCH
         return pd.concat(outs, ignore_index=True)
 
+    masks = []
+    if allow_doc_ids is not None:
+        qcol = (
+            F.col("query_id").cast("string")
+            if per_query_allow
+            else F.lit(None).cast("string")
+        )
+        allowed = (
+            store.docmap(spark)
+            .join(
+                allow_doc_ids.select(
+                    "doc_id", *(["query_id"] if per_query_allow else [])
+                ),
+                "doc_id",
+            )
+            .select(
+                "segment_id", "shard", "docno", F.lit(1).alias("kind"),
+                qcol.alias("query_id"),
+            )
+        )
+        masks.append(allowed)
     denied = store.denied_mask(spark) if apply_deletes else None
     if denied is not None:
+        masks.append(
+            denied.select(
+                "segment_id", "shard", "docno", F.lit(-1).alias("kind"),
+                F.lit(None).cast("string").alias("query_id"),
+            )
+        )
+    if masks:
+        mask_df = masks[0]
+        for m in masks[1:]:
+            mask_df = mask_df.unionByName(m)
+
         # two-arg function → cogroup passes (left, right); a lone grouped
         # two-arg function would instead receive (key, pdf)
         def cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -1157,11 +1298,7 @@ def search_many(
 
         hits = (
             cand.groupBy("segment_id", "shard")
-            .cogroup(
-                denied.select("segment_id", "shard", "docno").groupBy(
-                    "segment_id", "shard"
-                )
-            )
+            .cogroup(mask_df.groupBy("segment_id", "shard"))
             .applyInPandas(cogrouped, BATCH_KERNEL_SCHEMA)
         )
     else:

@@ -232,6 +232,72 @@ def test_search_many_matches_per_query(spark):
         )
 
 
+def test_search_many_full_surface(spark):
+    """Batch execution == per-query search_index across the FULL query
+    surface: phrase, proximity, nested clause tree, prefix expansion, msm,
+    and global + per-query allow filters (scores included)."""
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fastcatsearch3_spark.config import EngineConfig
+    from fastcatsearch3_spark.index import IndexStore
+    from fastcatsearch3_spark.operators.build import build_index
+    from fastcatsearch3_spark.operators.ingest import load_documents
+    from fastcatsearch3_spark.plans.search import search_index, search_many
+
+    cfg = EngineConfig(num_shards=4, store_positions=True)
+    corpus = load_documents(spark, "/root/testdata/sf0.001")
+    root = tempfile.mkdtemp(prefix="fcs3_batchfull_")
+    build_index(spark, corpus, root, cfg)
+    store = IndexStore(root)
+    qs = {
+        "phrase": '"spark join"',
+        "prox": '"spark join"~2',
+        "tree": "(spark AND join) OR (vector AND NOT stream)",
+        "prefix": "spar* AND join",
+        "msm": "spark join vector stream msm=2",
+    }
+    got = search_many(spark, store, qs, k=10).toPandas()
+    for qid, q in qs.items():
+        want = search_index(spark, store, q, k=10).toPandas()
+        g = got[got["query_id"] == qid].reset_index(drop=True)
+        assert g["doc_id"].tolist() == want["doc_id"].tolist(), qid
+        np.testing.assert_allclose(g["score"], want["score"], atol=1e-12)
+
+    # per-query allow filters: q1 → ids % 3 == 0, q2 → % 3 == 1, q3 open
+    allow_a = corpus.where(F.col("doc_id") % 3 == 0).select("doc_id")
+    allow_b = corpus.where(F.col("doc_id") % 3 == 1).select("doc_id")
+    pq_allow = allow_a.withColumn("query_id", F.lit("q1")).unionByName(
+        allow_b.withColumn("query_id", F.lit("q2"))
+    )
+    got = search_many(
+        spark, store,
+        {"q1": "spark join", "q2": "spark join", "q3": "spark join"},
+        k=10, allow_doc_ids=pq_allow,
+    ).toPandas()
+    for qid, allow in [("q1", allow_a), ("q2", allow_b), ("q3", None)]:
+        want = search_index(
+            spark, store, "spark join", k=10, allow_doc_ids=allow
+        ).toPandas()
+        g = got[got["query_id"] == qid].reset_index(drop=True)
+        assert g["doc_id"].tolist() == want["doc_id"].tolist(), qid
+        np.testing.assert_allclose(g["score"], want["score"], atol=1e-12)
+
+    # a global (untagged) allow restricts every query, phrases included
+    got = search_many(
+        spark, store, {"q1": "spark join", "q2": '"spark join"'},
+        k=10, allow_doc_ids=allow_a,
+    ).toPandas()
+    for qid, q in [("q1", "spark join"), ("q2", '"spark join"')]:
+        want = search_index(
+            spark, store, q, k=10, allow_doc_ids=allow_a
+        ).toPandas()
+        g = got[got["query_id"] == qid].reset_index(drop=True)
+        assert g["doc_id"].tolist() == want["doc_id"].tolist(), qid
+
+
 def test_search_many_applies_deletes(spark, tmp_path):
     """Batch mode must exclude tombstoned docs exactly like search_index."""
     import pandas as pd
