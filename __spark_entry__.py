@@ -956,6 +956,22 @@ def _q_bm25_multifield(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25f(spark, sf_dir):
+    # TRUE BM25F (SURVEY §10.2) on the same (content, repo) index and the
+    # same query/weights as bm25_multifield: per-word field tfs are
+    # length-normalized, weighted and MERGED before the single k1
+    # saturation, idf over the doc-level union df — vs qf's weighted sum
+    # of independently saturated per-field scores
+    from fastcatsearch3_spark.plans.search import search_bm25f
+
+    cfg_f = EngineConfig(indexed_fields=("content", "repo"))
+    store = _packed_store(spark, sf_dir, cfg=cfg_f)
+    hits = search_bm25f(
+        spark, store, "spark src1", {"content": 1.0, "repo": 2.0}, k=_K
+    )
+    return hits.select("doc_id", _e4())
+
+
 def _q_hybrid_search(spark, sf_dir):
     # hybrid retrieval: BM25 top-100 candidates re-scored by
     # 0.5*bm25 + 0.5*cosine(embedding, probe vec 0); candidate ids are
@@ -1396,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _q_bm25_prefix,
         "bm25_field": _q_bm25_field,
         "bm25_multifield": _q_bm25_multifield,
+        "bm25f_topk": _q_bm25f,
         "search_paging": _q_search_paging,
         "search_sort": _q_search_sort,
         "search_highlight": _q_search_highlight,
@@ -1429,8 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- window tail: core anchors (displaced by new r3 queries) --
         "doclens": _q_doclens,
         "match_boost": _q_match_boost,
-        "search_hydrate": _q_search_hydrate,
         # ------------------- end of driver-checked window -------------------
+        "search_hydrate": _q_search_hydrate,
         "tf_filtered_analyzer": _q_tf_filtered_analyzer,
         "tf_code_identifiers": _q_tf_code_identifiers,
         "tf_cjk_bigrams": _q_tf_cjk_bigrams,
@@ -2338,6 +2355,44 @@ agg AS (SELECT doc_id, sum(partial) score, count(DISTINCT gid) ng FROM scored
         GROUP BY doc_id)
 SELECT doc_id, CAST(round(score * 10000) AS BIGINT) score_e4 FROM agg
 WHERE ng = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # TRUE BM25F: per-term field tfs length-normalized, weighted and
+        # merged BEFORE the single saturation; idf over doc-level union df
+        "bm25f_topk": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+ndocs AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+rtok AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(source), '[a-z0-9]+')) AS term
+         FROM documents),
+rtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM rtok
+        GROUP BY doc_id, term),
+rdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) dl FROM rtok GROUP BY doc_id),
+cav AS (SELECT sum(dl) * 1.0 / (SELECT n FROM ndocs) avgdl FROM dl),
+rav AS (SELECT sum(dl) * 1.0 / (SELECT n FROM ndocs) avgdl FROM rdl),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         1.0 * t.tf / (1.0 - {CFG.b} + {CFG.b} * l.dl / (SELECT avgdl FROM cav))
+           AS ntf
+  FROM tf t JOIN dl l USING (doc_id) WHERE t.term IN ('spark', 'src1')
+  UNION ALL
+  SELECT t.doc_id, t.term,
+         2.0 * t.tf / (1.0 - {CFG.b} + {CFG.b} * l.dl / (SELECT avgdl FROM rav))
+           AS ntf
+  FROM rtf t JOIN rdl l USING (doc_id) WHERE t.term IN ('spark', 'src1')
+),
+merged AS (SELECT doc_id, term, sum(ntf) AS tft FROM contrib
+           GROUP BY doc_id, term),
+dfu AS (SELECT term, CAST(count(*) AS BIGINT) df FROM merged GROUP BY term),
+scored AS (
+  SELECT m.doc_id,
+         ln(1.0 + ((SELECT n FROM ndocs) - d.df + 0.5) / (d.df + 0.5))
+           * m.tft * ({CFG.k1} + 1.0) / ({CFG.k1} + m.tft) AS partial
+  FROM merged m JOIN dfu d USING (term)),
+agg AS (SELECT doc_id, sum(partial) score, count(*) nw FROM scored
+        GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4 FROM agg
+WHERE nw = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
 """,
         # hybrid retrieval: lexical top-100 + dense cosine re-rank (same
         # cosine expression as ann_cosine_topk; raw-score blend)

@@ -501,3 +501,66 @@ def _score_or_maxscore(
                 ]
     cand = np.nonzero(present)[0]
     return cand.astype(np.uint64), acc[cand]
+
+
+def score_bm25f(
+    words: "list[tuple[float, list[tuple[float, TermPostings]]]]",
+    *,
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    deny_docnos: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """True BM25F for one (segment, shard) group (Robertson & Zaragoza's
+    'Simple BM25 extension to multiple weighted fields', CIKM'04): per
+    query word, the field-weighted LENGTH-NORMALIZED tf values are merged
+    across fields FIRST —
+
+        tf~(w, d) = sum_f  weight_f * tf_f / (1 - b + b * dl_f / avgdl_f)
+
+    — and saturation applies ONCE to the merged value:
+
+        score(d) = sum_w  idf_w * tf~ * (k1 + 1) / (k1 + tf~)
+
+    This differs from the qf weighted-sum mode (parse_multifield), which
+    saturates each field independently and sums the saturated scores: a
+    term spread thinly across several fields saturates faster under qf
+    than under BM25F. ``idf_w`` must be the DOC-level idf (union df across
+    fields — see search.dfu_for_terms). AND semantics across words (every
+    word must match in >= 1 field). ``words``: per query word,
+    (idf, [(field_weight, TermPostings), ...]); each TermPostings carries
+    its field's avgdl."""
+    size = 0
+    decoded: list[tuple[float, list[tuple[float, np.ndarray, np.ndarray, np.ndarray]]]] = []
+    for idf, ftps in words:
+        dec = []
+        for wgt, tp in ftps:
+            d, t, l = decode_postings(tp.blob, tp.meta)
+            dn = d.astype(np.int64)
+            dec.append((wgt, dn, t, l, tp.adl(avgdl)))
+            if dn.size:
+                size = max(size, int(dn[-1]) + 1)
+        decoded.append((idf, dec))
+    if size == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0)
+    acc = np.zeros(size, dtype=np.float64)
+    nwords = np.zeros(size, dtype=np.int32)
+    for idf, dec in decoded:
+        tft = np.zeros(size, dtype=np.float64)
+        for wgt, dn, t, l, adl in dec:
+            # field-weighted, field-length-normalized tf — NOT saturated
+            tft[dn] += wgt * t / (1.0 - b + b * l / adl)
+        matched = tft > 0.0
+        nwords[matched] += 1
+        sat = tft[matched]
+        acc[matched] += idf * sat * (k1 + 1.0) / (k1 + sat)
+    cand = np.nonzero(nwords >= len(words))[0]
+    docnos, scores = cand.astype(np.uint64), acc[cand]
+    if deny_docnos is not None and docnos.size:
+        pos = np.searchsorted(deny_docnos, docnos)
+        ok = pos < deny_docnos.size
+        m = np.zeros(docnos.size, dtype=bool)
+        m[ok] = deny_docnos[pos[ok]] == docnos[ok]
+        docnos, scores = docnos[~m], scores[~m]
+    return _topk(scores, docnos, k)

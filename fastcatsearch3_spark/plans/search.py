@@ -37,6 +37,8 @@ from fastcatsearch3_spark.plans.scoring import (
     TermPostings,
     bm25_idf,
     decode_meta,
+    decode_postings,
+    score_bm25f,
     score_group,
 )
 
@@ -1516,4 +1518,225 @@ def _hydrate(
         corpus.join(F.broadcast(out), "doc_id")
         .select("doc_id", "score", "repo", "path", "commit", "lang", "content")
         .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# True BM25F (SURVEY.md §10.2): merged weighted tf BEFORE saturation
+# ---------------------------------------------------------------------------
+
+def dfu_for_terms(
+    spark: SparkSession,
+    store,  # fastcatsearch3_spark.index.IndexStore
+    bases: list[str],
+    fields: list[str],
+) -> dict[str, int]:
+    """DOC-level (union-across-fields) document frequency for the given
+    base terms — BM25F's idf is defined over the whole document, but the
+    lexicon stores PER-FIELD dfs (field-qualified term keys), and union
+    df cannot be derived from them (fields overlap). Computed exactly
+    from the query terms' posting blobs: the same pushed-``In`` pruned
+    postings scan a search performs, with a per-(segment, shard) kernel
+    that unions each base term's docnos across its field variants
+    (shards partition docs disjointly, so local union counts SUM to the
+    global df). One result-sized extra job per cold term; cached on the
+    driver per index epoch, exactly like IndexStore.df_for_terms."""
+    ep = store.epoch()
+    fsig = "|".join(sorted(fields))
+    if getattr(store, "_dfu_epoch", None) != (ep, fsig):
+        store._dfu_cache = {}
+        store._dfu_epoch = (ep, fsig)
+    missing = [t for t in bases if t not in store._dfu_cache]
+    if missing:
+        keys = [
+            (b if f == "content" else f"{f}:{b}")
+            for f in fields
+            for b in missing
+        ]
+        base_of = {
+            (b if f == "content" else f"{f}:{b}"): b
+            for f in fields
+            for b in missing
+        }
+        cand = (
+            store.postings(spark)
+            .where(F.col("term").isin(keys))
+            .select("segment_id", "shard", "term", "postings")
+        )
+
+        def union_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+            per_base: dict[str, list[np.ndarray]] = {}
+            for t, bl in zip(pdf["term"], pdf["postings"]):
+                raw = bytes(bl)
+                d, _, _ = decode_postings(raw, decode_meta(raw))
+                per_base.setdefault(base_of[t], []).append(d)
+            rows = {
+                b: int(np.unique(np.concatenate(ds)).size)
+                for b, ds in per_base.items()
+            }
+            return pd.DataFrame(
+                {"base": list(rows), "dfu": list(rows.values())}
+            )
+
+        part = cand.groupBy("segment_id", "shard").applyInPandas(
+            union_counts, "base string, dfu long"
+        )
+        got = {
+            r["base"]: int(r["dfu"])
+            for r in part.groupBy("base")
+            .agg(F.sum("dfu").alias("dfu"))
+            .collect()
+        }
+        for b in missing:
+            store._dfu_cache[b] = got.get(b, 0)
+    return {b: store._dfu_cache[b] for b in bases}
+
+
+def search_bm25f(
+    spark: SparkSession,
+    store,  # fastcatsearch3_spark.index.IndexStore
+    text: str,
+    field_weights: dict[str, float],
+    k: int = 10,
+    apply_deletes: bool = True,
+) -> DataFrame:
+    """Top-k TRUE BM25F search (Robertson & Zaragoza CIKM'04), vs the
+    ``parse_multifield`` qf mode which is a weighted sum of per-field
+    BM25 scores: here each word's field tfs are length-normalized,
+    field-weighted, and SUMMED before the k1 saturation, and idf is the
+    doc-level union df (``dfu_for_terms``). AND across words. Output:
+    (doc_id, score), (score desc, doc_id asc)."""
+    cfg = store.config()
+    for fld in field_weights:
+        if fld not in cfg.indexed_fields:
+            raise ValueError(
+                f"unknown search field {fld!r} (indexed: {cfg.indexed_fields})"
+            )
+    if not field_weights:
+        raise ValueError("field_weights must name at least one field")
+    stats = store.stats()
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    avgdl_by_field = stats.get("avgdl_by_field") or {}
+
+    from fastcatsearch3_spark.functions.analyzer import tokenize_text
+
+    bases: list[str] = []
+    for w in text.split():
+        toks = tokenize_text(w, cfg)
+        if not toks:
+            raise ValueError(f"query word {w!r} analyzed to nothing")
+        bases.extend(t for t in toks if t not in bases)
+    if not bases or n_docs == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    fields = list(field_weights)
+    dfu = dfu_for_terms(spark, store, bases, fields)
+    if any(dfu.get(b, 0) == 0 for b in bases):
+        # AND semantics: a word absent from every field matches nothing
+        return spark.createDataFrame([], "doc_id long, score double")
+    word_idf = {b: float(bm25_idf(n_docs, dfu[b])) for b in bases}
+    key_of = {
+        (f, b): (b if f == "content" else f"{f}:{b}")
+        for f in fields
+        for b in bases
+    }
+    field_avgdl = {
+        f: (avgdl_by_field.get(f, avgdl) if f != "content" else avgdl)
+        for f in fields
+    }
+
+    fetch = sorted(key_of.values())
+    cand = (
+        store.postings(spark)
+        .where(F.col("term").isin(fetch))
+        .select("segment_id", "shard", "term", "postings")
+    )
+    k1, b_p = cfg.k1, cfg.b
+    specs = [
+        (
+            bse,
+            word_idf[bse],
+            [(float(field_weights[f]), f, key_of[(f, bse)]) for f in fields],
+        )
+        for bse in bases
+    ]
+
+    def kernel(pdf: pd.DataFrame, mask_pdf: pd.DataFrame | None) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "segment_id": pd.Series([], dtype="int32"),
+                "shard": pd.Series([], dtype="int32"),
+                "docno": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) == 0:
+            return empty
+        seg = int(pdf["segment_id"].iloc[0])
+        shard = int(pdf["shard"].iloc[0])
+        blobs = {t: bytes(bl) for t, bl in zip(pdf["term"], pdf["postings"])}
+        words = []
+        for bse, idf, fkeys in specs:
+            ftps = []
+            for wgt, f, key in fkeys:
+                bl = blobs.get(key)
+                if bl is None:
+                    continue
+                ftps.append(
+                    (
+                        wgt,
+                        TermPostings(
+                            term=key, idf=idf, blob=bl,
+                            avgdl=field_avgdl[f],
+                        ),
+                    )
+                )
+            if not ftps:
+                return empty  # AND: word absent from this shard entirely
+            words.append((idf, ftps))
+        deny = None
+        if mask_pdf is not None and len(mask_pdf):
+            deny = np.sort(
+                mask_pdf["docno"].to_numpy(np.int64)
+            ).astype(np.uint64)
+        docnos, scores = score_bm25f(
+            words, k=k, k1=k1, b=b_p, avgdl=avgdl, deny_docnos=deny
+        )
+        return pd.DataFrame(
+            {
+                "segment_id": np.full(docnos.size, seg, np.int32),
+                "shard": np.full(docnos.size, shard, np.int32),
+                "docno": docnos.astype(np.int64),
+                "score": scores,
+            }
+        )
+
+    denied = store.denied_mask(spark) if apply_deletes else None
+    if denied is not None:
+        def cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            return kernel(left, right)
+
+        hits = (
+            cand.groupBy("segment_id", "shard")
+            .cogroup(
+                denied.select("segment_id", "shard", "docno").groupBy(
+                    "segment_id", "shard"
+                )
+            )
+            .applyInPandas(cogrouped, KERNEL_SCHEMA)
+        )
+    else:
+        def grouped(pdf: pd.DataFrame) -> pd.DataFrame:
+            return kernel(pdf, None)
+
+        hits = cand.groupBy("segment_id", "shard").applyInPandas(
+            grouped, KERNEL_SCHEMA
+        )
+    return (
+        store.docmap(spark)
+        .select("segment_id", "shard", "docno", "doc_id")
+        .join(F.broadcast(hits), ["segment_id", "shard", "docno"])
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )

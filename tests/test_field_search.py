@@ -207,3 +207,103 @@ def test_unqualified_results_unchanged_by_field_indexing(spark, store, tmp_path_
     np.testing.assert_allclose(
         plain["score"].to_numpy(), multi["score"].to_numpy(), atol=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# TRUE BM25F (SURVEY §10.2) vs the qf weighted-sum mode
+# ---------------------------------------------------------------------------
+
+def _bm25f_expected(docs_pd, bases, weights, k1, b):
+    """Independent pandas BM25F: merged weighted normalized tf, single
+    saturation, doc-level union-df idf."""
+    n = len(docs_pd)
+    ctoks = docs_pd["content"].map(lambda s: re.findall(r"[a-z0-9]+", s.lower()))
+    rtoks = docs_pd["repo"].map(lambda s: re.findall(r"[a-z0-9]+", s.lower()))
+    cav = ctoks.map(len).sum() / n
+    rav = rtoks.map(len).sum() / n
+    scores = {}
+    for _, row in docs_pd.iterrows():
+        scores[row["doc_id"]] = {}
+    tft_all = {}
+    for base in bases:
+        tft = {}
+        for doc_id, ct, rt in zip(docs_pd["doc_id"], ctoks, rtoks):
+            v = 0.0
+            tc = ct.count(base)
+            if tc:
+                v += weights["content"] * tc / (1 - b + b * len(ct) / cav)
+            tr = rt.count(base)
+            if tr:
+                v += weights["repo"] * tr / (1 - b + b * len(rt) / rav)
+            if v > 0:
+                tft[doc_id] = v
+        tft_all[base] = tft
+    out = {}
+    for base in bases:
+        dfu = len(tft_all[base])
+        idf = math.log(1 + (n - dfu + 0.5) / (dfu + 0.5))
+        for doc_id, v in tft_all[base].items():
+            s, nw = out.get(doc_id, (0.0, 0))
+            out[doc_id] = (s + idf * v * (k1 + 1) / (k1 + v), nw + 1)
+    rows = [
+        (doc_id, s) for doc_id, (s, nw) in out.items() if nw == len(bases)
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows
+
+
+def test_bm25f_matches_reference_formula(spark, store, docs_pd):
+    from fastcatsearch3_spark.plans.search import search_bm25f
+
+    weights = {"content": 1.0, "repo": 2.0}
+    got = search_bm25f(spark, store, "spark src1", weights, k=10).toPandas()
+    want = _bm25f_expected(
+        docs_pd, ["spark", "src1"], weights, CFG.k1, CFG.b
+    )[:10]
+    assert got["doc_id"].tolist() == [d for d, _ in want]
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), [s for _, s in want], rtol=0, atol=1e-9
+    )
+
+
+def test_bm25f_differs_from_qf_on_crafted_docs(spark, tmp_path):
+    """The separating example: under qf (weighted sum of independently
+    SATURATED per-field scores) a term spread across two fields earns two
+    saturation budgets and outranks a doc with the same total tf in one
+    field; under TRUE BM25F the merged tf saturates once and the ranking
+    flips."""
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+    from fastcatsearch3_spark.plans.search import search_bm25f, search_index
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "target target target target pad",  # heavy in content only
+                "target pad pad pad pad",            # spread: content + repo
+                "filler words here pad pad",
+                "other filler pad pad pad",
+            ],
+            "source": ["alpha", "target", "alpha", "beta"],
+            "lang": "en",
+            "n_chars": 10,
+        }
+    )
+    cfg = EngineConfig(num_shards=2, indexed_fields=("content", "repo"))
+    root = str(tmp_path / "idx")
+    B.build_index(
+        spark, normalize_corpus(spark.createDataFrame(pdf)), root, cfg
+    )
+    st = IndexStore(root)
+    weights = {"content": 1.0, "repo": 1.0}
+
+    qf = search_index(
+        spark, st, parse_multifield("target", weights, cfg), k=4
+    ).toPandas()
+    f = search_bm25f(spark, st, "target", weights, k=4).toPandas()
+
+    assert set(qf["doc_id"]) == set(f["doc_id"]) == {1, 2}
+    # qf: doc 2 collects two saturated contributions -> beats doc 1;
+    # BM25F: one merged saturation -> doc 1's concentrated tf wins
+    assert qf["doc_id"].tolist()[0] == 2
+    assert f["doc_id"].tolist()[0] == 1
