@@ -89,17 +89,44 @@ def _packed_store(
     warm cache skips all heavy work (I-8). ``where`` builds a sub-
     collection over a corpus slice (multi-collection scenarios)."""
     key_src = (
-        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{sorted(cfg.to_dict().items())}|{tag}"
+        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{sorted(cfg.to_dict().items())}|{tag}|v2"
     )
     if where is not None:
         key_src += f"|{where}"
     key = hashlib.sha256(key_src.encode()).hexdigest()[:16]
     root = Path(tempfile.gettempdir()) / "fcs3_index_cache" / key
-    corpus = _corpus(spark, sf_dir)
-    if where is not None:
-        corpus = corpus.where(where)
-    build_index(spark, corpus, str(root), cfg, resume=True)
+    if not root.exists():
+        # concurrency-safe publish: build in a per-process unique dir and
+        # atomically rename in; a concurrent builder that loses the race
+        # discards its copy (rename onto an existing dir fails)
+        corpus = _corpus(spark, sf_dir)
+        if where is not None:
+            corpus = corpus.where(where)
+        tmp = _unique_tmp(root)
+        build_index(spark, corpus, str(tmp), cfg, resume=True)
+        _publish_dir(tmp, root)
     return IndexStore(str(root))
+
+
+def _unique_tmp(target: Path) -> Path:
+    import os
+    import uuid
+
+    target.parent.mkdir(parents=True, exist_ok=True)
+    return target.with_name(
+        f"{target.name}.tmp-{os.getpid()}-{uuid.uuid4().hex[:6]}"
+    )
+
+
+def _publish_dir(tmp: Path, target: Path) -> None:
+    """Atomic commit of a built artifact dir; tolerates a concurrent
+    winner (our copy is simply dropped)."""
+    import shutil
+
+    try:
+        tmp.rename(target)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # DuckDB mirror of the standard analyzer on the (lowercase-ASCII) testdata.
@@ -1077,8 +1104,6 @@ def _q_search_highlight(spark, sf_dir):  # F-7 whole-field highlight of top-k
 # ---------------------------------------------------------------------------
 
 def _incr_store(spark: SparkSession, sf_dir: str, compacted: bool) -> IndexStore:
-    import shutil
-
     from fastcatsearch3_spark.streaming.incremental import (
         append_segment,
         compact,
@@ -1087,27 +1112,27 @@ def _incr_store(spark: SparkSession, sf_dir: str, compacted: bool) -> IndexStore
 
     tag = "incr_compact" if compacted else "incr"
     key = hashlib.sha256(
-        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{sorted(CFG.to_dict().items())}|{tag}".encode()
+        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{sorted(CFG.to_dict().items())}|{tag}|v2".encode()
     ).hexdigest()[:16]
     root = Path(tempfile.gettempdir()) / "fcs3_incr_cache" / key
-    done = root / "_SCENARIO_DONE"
-    if not done.exists():
-        if root.exists():  # partially-built scenario from a crashed run
-            shutil.rmtree(root)
+    if not root.exists():
+        # full scenario built in a unique dir, atomically renamed in
+        # (concurrency-safe; a crashed run leaves only an orphan tmp dir)
+        tmp = _unique_tmp(root)
         corpus = _corpus(spark, sf_dir)
         docs = _docs(spark, sf_dir)
         build_index(
-            spark, corpus.where(F.col("doc_id") % 2 == 0), str(root), CFG
+            spark, corpus.where(F.col("doc_id") % 2 == 0), str(tmp), CFG
         )
-        append_segment(spark, str(root), docs.where(F.col("doc_id") % 2 == 1), CFG)
+        append_segment(spark, str(tmp), docs.where(F.col("doc_id") % 2 == 1), CFG)
         updates = docs.where(F.col("doc_id") % 10 == 0).withColumn(
             "text", F.concat(F.col("text"), F.lit(" updated"))
         )
-        append_segment(spark, str(root), updates, CFG)
-        delete_by_pk(spark, str(root), corpus.where(F.col("doc_id") % 97 == 3))
+        append_segment(spark, str(tmp), updates, CFG)
+        delete_by_pk(spark, str(tmp), corpus.where(F.col("doc_id") % 97 == 3))
         if compacted:
-            compact(spark, str(root), CFG)
-        done.touch()
+            compact(spark, str(tmp), CFG)
+        _publish_dir(tmp, root)
     return IndexStore(str(root))
 
 
@@ -1134,12 +1159,13 @@ def _source_cache(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     returns the path. Keyed by the same fingerprint as the index cache so
     regenerated testdata invalidates it."""
     key = hashlib.sha256(
-        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{fmt}".encode()
+        f"{sf_dir}|{_source_fingerprint(sf_dir)}|{fmt}|v2".encode()
     ).hexdigest()[:16]
     base = Path(tempfile.gettempdir()) / "fcs3_source_cache" / key
-    done = base / "_DONE"
-    path = str(base / fmt)
-    if not done.exists():
+    if not base.exists():
+        # build in a unique dir, atomic rename (concurrency-safe publish)
+        tmp = _unique_tmp(base)
+        path = str(tmp / fmt)
         docs = _docs(spark, sf_dir)
         if fmt == "csv":
             # RFC4180 (doubled-quote escaping) both ways → lossless for any
@@ -1155,9 +1181,37 @@ def _source_cache(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             # write/read code points at a networked RDBMS URL instead
             (docs.write.mode("overwrite")
                  .jdbc(f"jdbc:derby:{path};create=true", "documents"))
-        done.parent.mkdir(parents=True, exist_ok=True)
-        done.touch()
-    return path
+            _derby_shutdown(spark, path)  # release locks before publish
+        _publish_dir(tmp, base)
+    if fmt == "jdbc":
+        # embedded Derby takes an EXCLUSIVE lock per database directory at
+        # boot (even for reads), so concurrent processes can't share the
+        # published artifact directly — each reader gets a process-local
+        # copy (tiny; a networked RDBMS has no such restriction)
+        import os
+        import shutil
+
+        local = Path(tempfile.gettempdir()) / f"fcs3_jdbc_{os.getpid()}_{key}"
+        if not local.exists():
+            tmp_local = _unique_tmp(local)
+            shutil.copytree(base / fmt, tmp_local)
+            (tmp_local / "db.lck").unlink(missing_ok=True)
+            (tmp_local / "dbex.lck").unlink(missing_ok=True)
+            _publish_dir(tmp_local, local)
+        return str(local)
+    return str(base / fmt)
+
+
+def _derby_shutdown(spark: SparkSession, path: str) -> None:
+    """Cleanly shut down an embedded-Derby database so its directory can
+    be renamed/copied with no JVM holding it booted. Derby signals a
+    SUCCESSFUL single-db shutdown via SQLException 08006 — swallow it."""
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{path};shutdown=true"
+        )
+    except Exception:
+        pass
 
 
 _SOURCE_SHA = (
