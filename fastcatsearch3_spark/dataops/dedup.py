@@ -26,9 +26,35 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from fastcatsearch3_spark.config import EngineConfig
 from fastcatsearch3_spark.operators.build import tokens_raw_column
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Pin a SMALL, multiply-referenced relation (signatures, candidate
+    pairs, per-candidate shingle sets — all ∝ docs or ∝ near-dups, never
+    ∝ token stream). DISK_ONLY persist instead of localCheckpoint: blocks
+    are recomputable from lineage after an executor loss (localCheckpoint
+    truncates lineage and stores unreplicated executor-local blocks — a
+    single lost executor kills a 100 TB job). The corpus-sized shingle
+    relation is deliberately NEVER pinned: its one reuse (candidate
+    verification) re-derives shingles for candidate docs only, which is
+    cheaper at every scale than materializing the full token stream."""
+    return df.persist(StorageLevel.DISK_ONLY)
+
+
+def _pin_iter(df: DataFrame) -> DataFrame:
+    """Pin + lineage-truncate inside an iterative loop (label propagation):
+    without truncation the plan doubles per round. Uses a RELIABLE
+    checkpoint (replicated storage, survives executor loss) when the
+    session has a checkpoint dir configured; falls back to eager
+    localCheckpoint otherwise (fine on local mode / short loops)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 NUM_HASHES = 16
 BANDS = 4  # rows per band = NUM_HASHES // BANDS
@@ -101,9 +127,7 @@ def _pair_jaccard(sh: DataFrame, cand: DataFrame | None = None) -> DataFrame:
         # the restricted relation is small (candidates' shingles) and is
         # read 3× below (sizes + both self-join sides) — pin it so the
         # analyzer/shingle pipeline runs once, not per reference
-        sh = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").localCheckpoint(
-            eager=False
-        )
+        sh = _pin(sh.join(F.broadcast(cand_docs), "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -171,25 +195,23 @@ def minhash_signatures(
 
 
 def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, band, band_key) rows from a signature relation: one md5
-    per band over its signature rows. ``sig`` should be pinned
-    (localCheckpoint) by the caller — the per-band selects would otherwise
-    re-run the whole signature aggregate once per band."""
+    """(doc_id, band, band_key) rows from a signature relation, built in
+    ONE pass: all band keys are computed in a single projection and
+    exploded, so the signature aggregate upstream is read exactly once
+    (the previous per-band select + union re-read it ``bands`` times)."""
     rows = num_hashes // bands
-    parts = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        parts.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*cols)).alias("band_key"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat(*[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+            ).alias("band_key"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_key")
 
 
 def minhash_lsh_pairs(
@@ -227,18 +249,17 @@ def _lsh_verified(
     bands: int = BANDS,
 ) -> DataFrame:
     """Verified LSH pairs (doc_a < doc_b, exact ``jaccard``), unlimited —
-    the shared feeder for top-pairs reporting and cluster assignment."""
-    # ONE shingle materialization (≈ token stream size, executor-local)
-    # feeds both the signature aggregate and the candidate verify below —
-    # without it the analyzer+shingle pipeline would re-run once per
-    # consumer. On a cluster this is the natural "shingles table" step of
-    # any MinHash pipeline (disk ∝ corpus, read twice).
-    sh = shingles(docs, cfg, n, distinct=False).localCheckpoint(eager=False)
-    # one row per doc, K short strings — pinned so the per-band selects
-    # read one materialization instead of re-running the aggregate per band
-    sig = minhash_signatures(docs, cfg, n, num_hashes, sh=sh).localCheckpoint(
-        eager=False
-    )
+    the shared feeder for top-pairs reporting and cluster assignment.
+
+    Materialization discipline (the 100 TB shape): the corpus-sized
+    shingle relation is NEVER pinned — it streams once into the signature
+    aggregate. Only the tiny relations are persisted: ``sig`` (one row ×
+    K md5 strings per doc; read by both sides of the band self-join) and
+    ``cand`` (≈ true near-dups; referenced 3×). Verification re-derives
+    shingles for CANDIDATE docs only (a broadcast semi-join pushed ahead
+    of tokenization), so its analyzer cost is ∝ candidates — cheaper at
+    every scale than writing the full token stream to storage."""
+    sig = _pin(minhash_signatures(docs, cfg, n, num_hashes))
     banded = _band_rows(sig, num_hashes, bands)
     a = banded.alias("a")
     b_ = banded.alias("b")
@@ -250,24 +271,21 @@ def _lsh_verified(
         )
         .distinct()
     )
-    # the candidate set is tiny (≈ true near-dups) but its lineage is the
-    # whole signature pipeline; it is referenced three times below, so pin
-    # it once (lazy local checkpoint) instead of recomputing MinHash 3×
-    cand = cand.localCheckpoint(eager=False)
+    cand = _pin(cand)
     # Verify restricted to the LSH candidates — cost ∝ candidates, not all
-    # pairs (the full _pair_jaccard here would re-run the shingle self-join
-    # LSH exists to avoid). Shape: per-candidate-doc shingle SETS (bounded
-    # by |candidates| × dl) + two broadcast joins of the tiny pair list;
+    # pairs. Shape: per-candidate-doc shingle SETS (bounded by
+    # |candidates| × dl) + two broadcast joins of the tiny pair list;
     # exact Jaccard via array_intersect. No pair self-join, no pair groupBy.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    docsets = (
-        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    cand_corpus = docs.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    docsets = _pin(  # read twice below (a-side, b-side)
+        shingles(cand_corpus, cfg, n, distinct=False)
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shset"))
-        .localCheckpoint(eager=False)  # read twice below (a-side, b-side)
     )
     verified = (
         docsets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"))
@@ -328,25 +346,15 @@ def dedup_against(
     )
     rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
 
-    # ONE analyzer+shingle pass per corpus (pinned), feeding BOTH the
-    # signature aggregate and the verify — and a pinned sig so the
-    # per-band selects in _band_rows read one materialization, not
-    # bands× re-aggregations (same discipline as _lsh_verified; in
-    # production the base half is a persisted per-epoch artifact)
-    sh_rest_all = shingles(rest, cfg, n, distinct=False).localCheckpoint(
-        eager=False
-    )
-    sh_base_all = shingles(base, cfg, n, distinct=False).localCheckpoint(
-        eager=False
-    )
-    sig_rest = minhash_signatures(
-        rest, cfg, n, num_hashes, sh=sh_rest_all
-    ).localCheckpoint(eager=False)
-    sig_base = minhash_signatures(
-        base, cfg, n, num_hashes, sh=sh_base_all
-    ).localCheckpoint(eager=False)
+    # One analyzer+shingle pass per corpus streams into its signature
+    # aggregate (nothing corpus-sized is pinned); the tiny signature
+    # relations are persisted because the band join reads one per side
+    # (same discipline as _lsh_verified; in production the base half is
+    # a persisted per-epoch artifact — minhash_index_build).
+    sig_rest = _pin(minhash_signatures(rest, cfg, n, num_hashes))
+    sig_base = _pin(minhash_signatures(base, cfg, n, num_hashes))
 
-    cand = (
+    cand = _pin(
         _band_rows(sig_rest, num_hashes, bands)
         .join(
             _band_rows(sig_base, num_hashes, bands).select(
@@ -356,23 +364,26 @@ def dedup_against(
         )
         .select("doc_id", "match_id")
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    sh_rest = (
-        sh_rest_all.join(
+    # verification shingles re-derived for candidate docs ONLY: broadcast
+    # semi-join ahead of tokenization, cost ∝ candidates (Jaccard is over
+    # shingle SETS, so distinct=True)
+    sh_rest = shingles(
+        rest.join(
             F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
-        )
-        .distinct()  # Jaccard is over shingle SETS
+        ),
+        cfg, n,
     )
-    sh_base = (
-        sh_base_all.withColumnRenamed("doc_id", "match_id")
-        .join(
-            F.broadcast(cand.select("match_id").distinct()),
-            "match_id",
+    sh_base = shingles(
+        base.join(
+            F.broadcast(
+                cand.select(F.col("match_id").alias("doc_id")).distinct()
+            ),
+            "doc_id",
             "left_semi",
-        )
-        .distinct()
-    )
+        ),
+        cfg, n,
+    ).withColumnRenamed("doc_id", "match_id")
     return exact.unionByName(
         _verify_near(cand, sh_rest, sh_base, min_jaccard)
     )
@@ -394,7 +405,7 @@ def _exact_against(base_sha: DataFrame, batch: DataFrame) -> DataFrame:
             F.lit("exact").alias("kind"),
             F.lit(10000).cast("long").alias("jaccard_e4"),
         )
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.DISK_ONLY)
     )
 
 
@@ -423,10 +434,9 @@ def minhash_index_build(
     from pathlib import Path
 
     cfg = cfg or EngineConfig()
-    sh = shingles(docs, cfg, n, distinct=False).localCheckpoint(eager=False)
-    sig = minhash_signatures(docs, cfg, n, num_hashes, sh=sh).localCheckpoint(
-        eager=False
-    )
+    # straight-line pipeline (shingles -> signatures -> one-pass band rows
+    # -> write): every relation is consumed exactly once, nothing pinned
+    sig = minhash_signatures(docs, cfg, n, num_hashes)
     (
         _band_rows(sig, num_hashes, bands)
         .sortWithinPartitions("band", "band_key")
@@ -493,14 +503,9 @@ def dedup_against_index(
         spark.read.parquet(str(Path(index_dir) / "sha")), batch
     )
     rest = batch.join(exact.select("doc_id"), "doc_id", "left_anti")
-    sh_rest_all = shingles(rest, cfg, n, distinct=False).localCheckpoint(
-        eager=False
-    )
-    sig_rest = minhash_signatures(
-        rest, cfg, n, num_hashes, sh=sh_rest_all
-    ).localCheckpoint(eager=False)
+    sig_rest = _pin(minhash_signatures(rest, cfg, n, num_hashes))
     base_bands = spark.read.parquet(str(Path(index_dir) / "bands"))
-    cand = (
+    cand = _pin(
         _band_rows(sig_rest, num_hashes, bands)
         .join(
             base_bands.select(
@@ -510,11 +515,15 @@ def dedup_against_index(
         )
         .select("doc_id", "match_id")
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    sh_rest = sh_rest_all.join(
-        F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
-    ).distinct()
+    # batch shingles re-derived for candidate docs only (same push-ahead
+    # semi-join as the base side below)
+    sh_rest = shingles(
+        rest.join(
+            F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
+        ),
+        cfg, n,
+    )
     # base shingles ONLY for candidate docs: the semi-join pushes the
     # candidate ids into the base scan before any tokenization happens
     cand_base = base.join(
@@ -603,20 +612,17 @@ def near_dup_clusters(
         )
         .select("doc_a", "doc_b")
     )
-    und = (
+    und = _pin_iter(
         edges.unionByName(
             edges.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
-    labels = (
+    labels = _pin_iter(
         und.select(F.col("doc_a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -635,10 +641,10 @@ def near_dup_clusters(
                 .cast("int")
                 .alias("changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _pin_iter(new_labels)
         changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
-        labels = new_labels.select("node", "label").localCheckpoint(eager=True)
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return (
@@ -716,19 +722,21 @@ def simhash_top_pairs(
     Output: doc_a, doc_b, hamming."""
     width = bits // bands
     mask = (1 << width) - 1
-    # (doc_id, int64) — pinned once; referenced by 3 band selects + the
-    # two hamming-join sides below
-    sh = simhash(docs, cfg, bits).localCheckpoint(eager=False)
-    banded = None
-    for b in range(bands):
-        part = sh.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias(
-                "band_key"
-            ),
+    # (doc_id, int64) — one tiny row per doc, pinned once; referenced by
+    # the band self-join sides + the two hamming-join sides below
+    sh = _pin(simhash(docs, cfg, bits))
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_key"),
         )
-        banded = part if banded is None else banded.unionByName(part)
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_key")
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (
