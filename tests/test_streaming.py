@@ -213,3 +213,71 @@ def test_windowed_counts_batch_equivalence(spark):
         .toPandas()
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stream_exact_dedup_ttl_eviction(spark, tmp_path):
+    """Bounded-state dedup (SURVEY §10.3): within the TTL the
+    first-occurrence guarantee holds exactly; after the key's state times
+    out it is evicted and a late duplicate re-emits.
+
+    Protocol note: with ProcessingTimeTimeout the engine keeps running
+    (empty) micro-batches while ANY state has a registered timeout — those
+    batches are what FIRE the timeouts — so ``processAllAvailable`` never
+    quiesces. The test therefore polls the memory sink to a deadline
+    instead, with an explicit processing-time trigger pacing the batches."""
+    import time
+
+    from fastcatsearch3_spark.streaming.stateful import stream_exact_dedup
+
+    src = tmp_path / "docs_stream_ttl"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_dedup_ttl")
+
+    def write(rows, i):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f"{src}/batch-{i}.parquet", index=False
+        )
+
+    def wait_ids(expect: list[int], deadline_s: float = 90.0) -> list[int]:
+        t0 = time.monotonic()
+        got: list[int] = []
+        while time.monotonic() - t0 < deadline_s:
+            got = [
+                r["doc_id"]
+                for r in spark.sql(
+                    "SELECT doc_id FROM dedup_stream_ttl ORDER BY doc_id"
+                ).collect()
+            ]
+            if got == expect:
+                return got
+            if len(got) > len(expect):
+                break  # over-emitted: fail fast with the actual rows
+            time.sleep(0.3)
+        raise AssertionError(f"sink rows {got}, expected {expect}")
+
+    write([(1, "aaa"), (2, "bbb")], 0)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(str(src))
+    )
+    q = (
+        stream_exact_dedup(stream, ttl_ms=1500)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        wait_ids([1, 2])
+        # within TTL: cross-batch dup of 'aaa' suppressed (exact guarantee)
+        write([(3, "aaa"), (4, "ccc")], 1)
+        wait_ids([1, 2, 4])
+        # let every key's TTL lapse — the engine's own timeout batches
+        # evict the state — then replay 'aaa': re-emits (at-least-once)
+        time.sleep(3.0)
+        write([(6, "aaa")], 2)
+        wait_ids([1, 2, 4, 6])
+    finally:
+        q.stop()
