@@ -1333,13 +1333,15 @@ def _q_dedup_embedding_lsh(spark, sf_dir):  # banded hyperplane LSH — the
     )
 
 
-def _q_ann_ivf_topk(spark, sf_dir):  # IVF inverted-list ANN (nprobe scan)
+def _q_ann_ivf_topk(spark, sf_dir):  # IVF inverted-list ANN (nprobe scan),
+    # centroids k-means-trained (3 Lloyd rounds as iterative DF jobs)
     return SIM.ivf_ann_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         probe_id=0,
         k=_K,
         n_centroids=8,
         nprobe=2,
+        train_iters=3,
     )
 
 
@@ -1869,17 +1871,51 @@ FROM sims ORDER BY sim_e4 DESC, vec_a ASC, vec_b ASC LIMIT 50
 """
 
 
-def _ivf_ann_sql(n_centroids: int = 8, nprobe: int = 2) -> str:
-    """IVF oracle: centroids = vec_id < n_centroids, assignment = argmax
-    cosine (ties → lowest cid, both sides), probe scans nprobe lists."""
+def _ivf_ann_sql(
+    n_centroids: int = 8, nprobe: int = 2, train_iters: int = 0
+) -> str:
+    """IVF oracle: init centroids = vec_id < n_centroids, optionally
+    refined by ``train_iters`` unrolled Lloyd k-means rounds (assignment
+    = argmax cosine with ties → lowest cid; new centroid = per-dimension
+    mean rounded to 6 decimals — the rounding both sides apply so
+    different summation orders converge to identical centroids; an
+    emptied cluster keeps its previous centroid), then the probe scans
+    its nprobe nearest lists. Mirrors dataops.similarity.kmeans_centroids
+    + ivf_ann_topk exactly."""
     dot = (
         "list_sum(list_transform(range(1, 65),"
         " i -> a.vec[CAST(i AS INT)] * c.cvec[CAST(i AS INT)]))"
     )
+    train = ""
+    for it in range(train_iters):
+        prev = "cents0" if it == 0 else f"cents{it}"
+        train += f"""
+asn{it} AS (
+  SELECT a.vec_id, c.cid,
+    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      {dot} / (sqrt(list_sum(list_transform(a.vec, t -> t * t)))
+               * sqrt(list_sum(list_transform(c.cvec, t -> t * t)))) DESC,
+      c.cid ASC) rn
+  FROM v a CROSS JOIN {prev} c),
+expl{it} AS (
+  SELECT s.cid, unnest(x.vec) AS val,
+         unnest(generate_series(0, 63)) AS pos
+  FROM (SELECT vec_id, cid FROM asn{it} WHERE rn = 1) s
+  JOIN v x USING (vec_id)),
+mean{it} AS (
+  SELECT cid, list(m ORDER BY pos) AS cvec
+  FROM (SELECT cid, pos, round(avg(val), 6) AS m
+        FROM expl{it} GROUP BY cid, pos)
+  GROUP BY cid),
+cents{it + 1} AS (
+  SELECT c.cid, COALESCE(g.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN mean{it} g USING (cid)),"""
+    final = f"cents{train_iters}" if train_iters else "cents0"
     return f"""
 WITH v AS ({_EMB_DVEC}),
-cents AS (SELECT vec_id AS cid, vec AS cvec FROM v
-          WHERE vec_id < {n_centroids}),
+cents0 AS (SELECT CAST(vec_id AS INT) AS cid, vec AS cvec FROM v
+           WHERE vec_id < {n_centroids}),{train}
+cents AS (SELECT cid, cvec FROM {final}),
 scored AS (
   SELECT a.vec_id, c.cid,
     {dot} / (sqrt(list_sum(list_transform(a.vec, t -> t * t)))
@@ -2761,7 +2797,7 @@ FROM (SELECT CAST(floor(n_chars / 100) AS BIGINT) AS b FROM documents
 GROUP BY b ORDER BY range_lo
 """,
         "dedup_embedding_lsh": _emb_lsh_pairs_sql(),
-        "ann_ivf_topk": _ivf_ann_sql(),
+        "ann_ivf_topk": _ivf_ann_sql(train_iters=3),
         "more_like_this": _mlt_sql(),
         "search_collapse": _collapse_sql(_Q_OR, 8, 2),
         # the stream-capable window helper, batch-equivalent oracle

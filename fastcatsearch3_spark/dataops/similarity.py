@@ -147,20 +147,85 @@ def embedding_lsh_pairs(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means over the embedding column, as ``iters`` iterative
+    DataFrame jobs (the near_dup_clusters propagation pattern): each round
+    is one broadcast-assign pass (cosine argmax against the tiny centroid
+    table — a hash aggregate with map-side partial combine, no window
+    shuffle) plus one per-dimension mean (posexplode → (cid, pos) hash
+    agg, rows ∝ n×dim). The centroid table itself is O(k·dim) — it is
+    collected to the driver between rounds, which both truncates lineage
+    (no per-iteration plan doubling) and is the natural representation for
+    the broadcast join of the next round. Determinism: init is the
+    vec_id < k vectors; assignment ties break to the lowest cid; every
+    centroid dimension is rounded to 6 decimals per round so an SQL oracle
+    summing in a different order converges to bit-identical centroids;
+    a cluster that loses all members keeps its previous centroid.
+
+    Returns [(cid, centroid_vector)] — feed to ``ivf_ann_topk`` via
+    ``train_iters`` or persist as the IVF index's centroid artifact."""
+    spark = emb.sparkSession
+    v = emb.select("vec_id", _dvec("embedding").alias("vec"))
+    cents = [
+        (int(r["vec_id"]), list(r["vec"]))
+        for r in v.where(F.col("vec_id") < n_centroids).collect()
+    ]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(c, vec) for c, vec in cents], "cid int, cvec array<double>"
+        )
+        csim = _dot("vec", "cvec") / (_norm("vec") * _norm("cvec"))
+        assign = (
+            v.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "cid", csim.alias("csim"), "vec")
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("cid", "vec"), F.struct(F.col("csim"), -F.col("cid"))
+                ).alias("best")
+            )
+            .select(F.col("best.cid").alias("cid"), F.col("best.vec").alias("vec"))
+        )
+        means = (
+            assign.select("cid", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cid", F.col("pm.m").alias("cvec"))
+            .collect()
+        )
+        got = {int(r["cid"]): list(r["cvec"]) for r in means}
+        cents = [(c, got.get(c, vec)) for c, vec in cents]
+    return cents
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     probe_id: int,
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: vectors are partitioned into
     ``n_centroids`` inverted lists by nearest centroid; the probe scans
     only its ``nprobe`` nearest lists.
 
-    "Training" is deterministic — the centroids are the vectors with
-    vec_id < n_centroids (a fixed sample; real IVF would k-means these,
-    which only moves the centroid values, not the plan shape). Assignment
+    Training: with ``train_iters=0`` the centroids are the vectors with
+    vec_id < n_centroids (a deterministic fixed sample); with
+    ``train_iters>0`` they are k-means-refined by that many Lloyd rounds
+    (``kmeans_centroids`` — same init, so iters=0 degenerates to the
+    fixed sample). Training only moves the centroid VALUES; the serving
+    plan shape below is identical either way. Assignment
     is a broadcast join against the tiny centroid table + a ``max_by``
     hash aggregate (map-side partial combine — NOT a row_number window,
     which would sort-shuffle n×C rows), so at 100 TB it is one narrow
@@ -169,9 +234,15 @@ def ivf_ann_topk(
     inverted-list layout. Output: (vec_id, sim_e4) — a subset of the
     brute-force scan's results."""
     v = emb.withColumn("vec", _dvec("embedding"))
-    cents = v.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
-    )
+    if train_iters > 0:
+        trained = kmeans_centroids(emb, n_centroids, iters=train_iters)
+        cents = emb.sparkSession.createDataFrame(
+            trained, "cid int, cvec array<double>"
+        )
+    else:
+        cents = v.where(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+        )
     csim = _dot("vec", "cvec") / (_norm("vec") * _norm("cvec"))
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", csim.alias("csim")
