@@ -1001,17 +1001,27 @@ def _q_bm25f(spark, sf_dir):
 
 def _q_hybrid_search(spark, sf_dir):
     # hybrid retrieval: BM25 top-100 candidates re-scored by
-    # 0.5*bm25 + 0.5*cosine(embedding, probe vec 0); candidate ids are
-    # pushed into the embeddings scan (row-group pruning)
+    # alpha*lex + (1-alpha)*cosine(embedding, probe vec 0), exercised
+    # across all three score-normalization policies (none/minmax/zscore)
+    # in one relation; candidate ids are pushed into the embeddings scan
+    # (row-group pruning)
     from fastcatsearch3_spark.plans.search import hybrid_search
 
     store = _packed_store(spark, sf_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = hybrid_search(
-        spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), emb,
-        probe_id=0, k=_K, rerank_k=100,
-    )
-    return out.select("doc_id", _e4("blended"))
+    parts = []
+    for mode in ("none", "minmax", "zscore"):
+        out = hybrid_search(
+            spark, store, ParsedQuery(terms=_Q_AND2, op="AND"), emb,
+            probe_id=0, k=_K, rerank_k=100, norm=mode,
+        )
+        parts.append(
+            out.select(F.lit(mode).alias("mode"), "doc_id", _e4("blended"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("mode", F.desc("blended_e4"), "doc_id")
 
 
 def _q_hybrid_rrf(spark, sf_dir):
@@ -2485,7 +2495,9 @@ SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4 FROM agg
 WHERE nw = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
 """,
         # hybrid retrieval: lexical top-100 + dense cosine re-rank (same
-        # cosine expression as ann_cosine_topk; raw-score blend)
+        # cosine expression as ann_cosine_topk), across all three score-
+        # normalization policies: raw blend, min-max, z-score (population
+        # stddev) — stats taken over the candidate relation, as the engine
         "hybrid_search": f"""
 WITH cand AS ({_bm25_sql(_Q_AND2, "AND", 100, order_raw=True,
                          select_cols="doc_id, score")}),
@@ -2494,16 +2506,42 @@ v AS (SELECT vec_id,
       FROM embeddings),
 probe AS (SELECT vec AS qvec FROM v WHERE vec_id = 0),
 scored AS (
-  SELECT c.doc_id,
-         0.5 * c.score + 0.5 * (
-           list_sum(list_transform(range(1, 65),
-             i -> v.vec[CAST(i AS INT)] * p.qvec[CAST(i AS INT)]))
-           / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
-              * sqrt(list_sum(list_transform(p.qvec, x -> x * x))))
-         ) AS blended
-  FROM cand c JOIN v ON v.vec_id = c.doc_id CROSS JOIN probe p)
-SELECT doc_id, CAST(round(blended * 10000) AS BIGINT) AS blended_e4
-FROM scored ORDER BY blended DESC, doc_id ASC LIMIT {_K}
+  SELECT c.doc_id, c.score,
+         list_sum(list_transform(range(1, 65),
+           i -> v.vec[CAST(i AS INT)] * p.qvec[CAST(i AS INT)]))
+         / (sqrt(list_sum(list_transform(v.vec, x -> x * x)))
+            * sqrt(list_sum(list_transform(p.qvec, x -> x * x)))) AS cosine
+  FROM cand c JOIN v ON v.vec_id = c.doc_id CROSS JOIN probe p),
+st AS (SELECT min(score) s_min, max(score) s_max, avg(score) s_avg,
+              stddev_pop(score) s_std, min(cosine) c_min, max(cosine) c_max,
+              avg(cosine) c_avg, stddev_pop(cosine) c_std FROM scored),
+modes AS (
+  SELECT 'none' AS mode, doc_id, 0.5 * score + 0.5 * cosine AS blended
+  FROM scored
+  UNION ALL
+  SELECT 'minmax', doc_id,
+         0.5 * (CASE WHEN s.s_max > s.s_min
+                     THEN (score - s.s_min) / (s.s_max - s.s_min)
+                     ELSE 0.5 END)
+       + 0.5 * (CASE WHEN s.c_max > s.c_min
+                     THEN (cosine - s.c_min) / (s.c_max - s.c_min)
+                     ELSE 0.5 END)
+  FROM scored, st s
+  UNION ALL
+  SELECT 'zscore', doc_id,
+         0.5 * (CASE WHEN s.s_std > 0
+                     THEN (score - s.s_avg) / s.s_std ELSE 0.0 END)
+       + 0.5 * (CASE WHEN s.c_std > 0
+                     THEN (cosine - s.c_avg) / s.c_std ELSE 0.0 END)
+  FROM scored, st s),
+ranked AS (
+  SELECT mode, doc_id, blended,
+         row_number() OVER (PARTITION BY mode
+                            ORDER BY blended DESC, doc_id ASC) rn
+  FROM modes)
+SELECT mode, doc_id, CAST(round(blended * 10000) AS BIGINT) AS blended_e4
+FROM ranked WHERE rn <= {_K}
+ORDER BY mode ASC, blended_e4 DESC, doc_id ASC
 """,
         # RRF fusion over the same candidate set: ranks are integers, so
         # both sides order by the rounded rrf to keep ties identical

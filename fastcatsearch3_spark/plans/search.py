@@ -1340,15 +1340,28 @@ def hybrid_search(
     k: int = 10,
     rerank_k: int = 100,
     alpha: float = 0.5,
+    norm: str = "none",
 ) -> DataFrame:
     """Hybrid retrieval — lexical recall, dense precision: BM25 generates
     the top-``rerank_k`` candidates, each is re-scored by a blend with
     its embedding's cosine similarity to the probe vector, and the
     blended top-k wins. An engine extension past the reference (which is
     lexical-only); the standard first-stage/re-rank composition of a
-    modern retrieval stack. ``final = alpha·BM25 + (1−alpha)·cosine``
-    (raw blend — score normalization policy is orthogonal to the
-    plumbing). Candidates without an embedding row drop out (inner join).
+    modern retrieval stack. ``final = alpha·lex + (1−alpha)·dense`` where
+    the score-normalization policy is selected by ``norm``:
+
+      * ``"none"``   — raw scores (BM25 and cosine blended as-is);
+      * ``"minmax"`` — each side rescaled to [0,1] over the CANDIDATE
+        relation ((x−min)/(max−min); 0.5 when max==min) — the standard
+        affine-blend hygiene when the two score scales are incomparable;
+      * ``"zscore"`` — each side standardized ((x−μ)/σ_pop over the
+        candidates; 0.0 when σ==0) — robust to outlier candidates.
+
+    RRF (``hybrid_search_rrf``) remains the default-safe scale-free
+    combiner; these modes cover the affine-blend policies. The stats are
+    one aggregate over the ≤``rerank_k``-row candidate relation, joined
+    back by broadcast — result-sized, never corpus-sized.
+    Candidates without an embedding row drop out (inner join).
 
     Scale shape: the candidate list is result-sized (≤ rerank_k), so its
     ids are PUSHED into the embeddings scan as an ``In`` predicate
@@ -1359,6 +1372,8 @@ def hybrid_search(
 
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
+    if norm not in ("none", "minmax", "zscore"):
+        raise ValueError("norm must be 'none', 'minmax' or 'zscore'")
     hit_rows = search_index(spark, store, query, k=rerank_k).collect()
     if not hit_rows:
         return spark.createDataFrame(
@@ -1379,16 +1394,49 @@ def hybrid_search(
         .select(_dvec("embedding").alias("qvec"))
     )
     cos = _dot("vec", "qvec") / (_norm("vec") * _norm("qvec"))
-    return (
+    scored = (
         cand.crossJoin(F.broadcast(probe))
         .join(F.broadcast(hits), "doc_id")
         .withColumn("cosine", cos)
-        .select(
+    )
+    if norm == "none":
+        lex, den = F.col("score"), F.col("cosine")
+    else:
+        stats = scored.agg(
+            F.min("score").alias("s_min"), F.max("score").alias("s_max"),
+            F.avg("score").alias("s_avg"),
+            F.stddev_pop("score").alias("s_std"),
+            F.min("cosine").alias("c_min"), F.max("cosine").alias("c_max"),
+            F.avg("cosine").alias("c_avg"),
+            F.stddev_pop("cosine").alias("c_std"),
+        )
+        scored = scored.crossJoin(F.broadcast(stats))
+        if norm == "minmax":
+            lex = F.when(
+                F.col("s_max") > F.col("s_min"),
+                (F.col("score") - F.col("s_min"))
+                / (F.col("s_max") - F.col("s_min")),
+            ).otherwise(F.lit(0.5))
+            den = F.when(
+                F.col("c_max") > F.col("c_min"),
+                (F.col("cosine") - F.col("c_min"))
+                / (F.col("c_max") - F.col("c_min")),
+            ).otherwise(F.lit(0.5))
+        else:  # zscore
+            lex = F.when(
+                F.col("s_std") > 0,
+                (F.col("score") - F.col("s_avg")) / F.col("s_std"),
+            ).otherwise(F.lit(0.0))
+            den = F.when(
+                F.col("c_std") > 0,
+                (F.col("cosine") - F.col("c_avg")) / F.col("c_std"),
+            ).otherwise(F.lit(0.0))
+    return (
+        scored.select(
             "doc_id",
             "score",
             "cosine",
-            (F.lit(alpha) * F.col("score")
-             + F.lit(1.0 - alpha) * F.col("cosine")).alias("blended"),
+            (F.lit(alpha) * lex + F.lit(1.0 - alpha) * den).alias("blended"),
         )
         .orderBy(F.desc("blended"), F.asc("doc_id"))
         .limit(k)
