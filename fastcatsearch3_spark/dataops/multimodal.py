@@ -73,12 +73,52 @@ def _fake_decode(buf: bytes) -> tuple[int, int, float, np.ndarray]:
     return width, height, mean, feat
 
 
+def _pil_decode(buf: bytes) -> tuple[int, int, float, np.ndarray]:
+    """Real image decode behind the same signature as ``_fake_decode``:
+    (width, height, mean pixel value, 8-bin luminance histogram). Only
+    the ``Image.open`` call is per-row; stats are numpy over the decoded
+    array. Import is deferred to call time — this function is only ever
+    returned by ``decoder('image')`` after the probe succeeded."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(buf)) as im:
+        arr = np.asarray(im.convert("L"), dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=8, range=(0, 256))
+    n = max(arr.size, 1)
+    return (
+        int(im.width),
+        int(im.height),
+        float(arr.mean()) if arr.size else 0.0,
+        (hist / n).astype(np.float32),
+    )
+
+
+def codec_available(kind: str) -> bool:
+    """Probe for the codec library backing ``decoder(kind)`` without
+    importing it into the hot path: image → PIL (Pillow); audio →
+    soundfile; video → a PyAV/ffmpeg binding. Probed at registry time so
+    a cluster image that ships the library gets the real decoder with no
+    code change, and a container without it (like this sandbox — probe
+    verified absent for all three) degrades to an explicit
+    NotImplementedError instead of a silent fake."""
+    import importlib.util
+
+    mod = {"image": "PIL", "audio": "soundfile", "video": "av"}.get(kind)
+    return mod is not None and importlib.util.find_spec(mod) is not None
+
+
 def decoder(kind: str = "raw") -> Callable[[bytes], tuple]:
-    """Decoder registry. 'raw' = deterministic fake (always available);
-    'image'/'audio'/'video' require codec libraries not present in this
-    container and raise NotImplementedError at call time, by design."""
+    """Decoder registry. 'raw' = deterministic fake (always available and
+    oracle-checkable); 'image' returns a real PIL-backed decode when
+    Pillow is importable (``codec_available``), else — as for
+    'audio'/'video', whose libraries are absent here — a callable that
+    raises NotImplementedError at call time, by design."""
     if kind == "raw":
         return _fake_decode
+    if kind == "image" and codec_available("image"):
+        return _pil_decode
 
     def _missing(buf: bytes) -> tuple:
         raise NotImplementedError(
@@ -247,9 +287,12 @@ def extract_features(
 
     The 'raw' path is fully batch-vectorized (_raw_batch_kernel); other
     kinds fall back to a per-row decoder call — inherent to real codecs —
-    while all surrounding work stays batch-shaped."""
+    while all surrounding work stays batch-shaped. ``docs`` may be either
+    a (doc_id, text) relation (payload derived via ``attach_binary``) or
+    an already-attached (doc_id, payload, modality) relation carrying
+    real encoded bytes."""
     dec = decoder(kind)
-    b = attach_binary(docs)
+    b = docs if "payload" in docs.columns else attach_binary(docs)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

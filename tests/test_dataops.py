@@ -135,8 +135,49 @@ def test_multimodal_fake_decode_roundtrip(spark, docs):
 
 
 def test_multimodal_missing_codec_raises(spark, docs):
+    missing = [
+        kind for kind in ("image", "audio", "video")
+        if not MM.codec_available(kind)
+    ]
+    if not missing:
+        pytest.skip("all codec libraries installed — nothing to probe")
     with pytest.raises(Exception, match="NotImplementedError|codec"):
-        MM.extract_features(docs.limit(1), kind="image").collect()
+        MM.extract_features(docs.limit(1), kind=missing[0]).collect()
+
+
+@pytest.mark.skipif(
+    not MM.codec_available("image"),
+    reason="Pillow not installed — decoder('image') degrades to the "
+    "documented NotImplementedError (probe in multimodal.codec_available)",
+)
+def test_multimodal_real_image_codec(spark):
+    """Integration: when Pillow IS present the registry returns a real
+    decode and the same mapInPandas plumbing extracts true dimensions
+    and pixel stats from encoded PNG payloads."""
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for i, (w, h, color) in enumerate([(5, 3, 0), (4, 4, 128), (2, 7, 255)]):
+        im = Image.new("L", (w, h), color)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        rows.append((i, bytearray(buf.getvalue()), "image"))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, payload binary, modality string"
+    )
+    out = (
+        MM.extract_features(df, kind="image")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["width"].tolist() == [5, 4, 2]
+    assert out["height"].tolist() == [3, 4, 7]
+    assert np.allclose(out["mean_byte"].tolist(), [0.0, 128.0, 255.0])
+    feats = np.stack(out["feature"].to_numpy())
+    assert np.allclose(feats.sum(axis=1), 1.0, atol=1e-3)
 
 
 def test_dedup_against_planted(spark):
