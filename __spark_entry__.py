@@ -1344,13 +1344,15 @@ def _q_dedup_embedding_lsh(spark, sf_dir):  # banded hyperplane LSH — the
 
 
 def _q_ann_ivf_topk(spark, sf_dir):  # IVF inverted-list ANN (nprobe scan),
-    # centroids k-means-trained (3 Lloyd rounds as iterative DF jobs)
+    # centroids spherical-k-means-trained (3 Lloyd rounds as iterative DF
+    # jobs); 16 lists / nprobe 4 = a 25% scan fraction sized above the
+    # corpus's 10 natural label clusters (recall study: scripts/ivf_recall)
     return SIM.ivf_ann_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         probe_id=0,
         k=_K,
-        n_centroids=8,
-        nprobe=2,
+        n_centroids=16,
+        nprobe=4,
         train_iters=3,
     )
 
@@ -1885,13 +1887,13 @@ def _ivf_ann_sql(
     n_centroids: int = 8, nprobe: int = 2, train_iters: int = 0
 ) -> str:
     """IVF oracle: init centroids = vec_id < n_centroids, optionally
-    refined by ``train_iters`` unrolled Lloyd k-means rounds (assignment
-    = argmax cosine with ties → lowest cid; new centroid = per-dimension
-    mean rounded to 6 decimals — the rounding both sides apply so
-    different summation orders converge to identical centroids; an
-    emptied cluster keeps its previous centroid), then the probe scans
-    its nprobe nearest lists. Mirrors dataops.similarity.kmeans_centroids
-    + ivf_ann_topk exactly."""
+    refined by ``train_iters`` unrolled SPHERICAL Lloyd k-means rounds
+    (assignment = argmax cosine with ties → lowest cid; new centroid =
+    per-dimension mean of the UNIT-normalized members rounded to 6
+    decimals — the rounding both sides apply so different summation
+    orders converge to identical centroids; an emptied cluster keeps its
+    previous centroid), then the probe scans its nprobe nearest lists.
+    Mirrors dataops.similarity.kmeans_centroids + ivf_ann_topk exactly."""
     dot = (
         "list_sum(list_transform(range(1, 65),"
         " i -> a.vec[CAST(i AS INT)] * c.cvec[CAST(i AS INT)]))"
@@ -1908,10 +1910,10 @@ asn{it} AS (
       c.cid ASC) rn
   FROM v a CROSS JOIN {prev} c),
 expl{it} AS (
-  SELECT s.cid, unnest(x.vec) AS val,
+  SELECT s.cid, unnest(x.uvec) AS val,
          unnest(generate_series(0, 63)) AS pos
   FROM (SELECT vec_id, cid FROM asn{it} WHERE rn = 1) s
-  JOIN v x USING (vec_id)),
+  JOIN vu x USING (vec_id)),
 mean{it} AS (
   SELECT cid, list(m ORDER BY pos) AS cvec
   FROM (SELECT cid, pos, round(avg(val), 6) AS m
@@ -1923,6 +1925,12 @@ cents{it + 1} AS (
     final = f"cents{train_iters}" if train_iters else "cents0"
     return f"""
 WITH v AS ({_EMB_DVEC}),
+vu AS (SELECT vec_id,
+         list_transform(vec, t -> t / (CASE WHEN
+           sqrt(list_sum(list_transform(vec, s -> s * s))) > 0
+           THEN sqrt(list_sum(list_transform(vec, s -> s * s)))
+           ELSE 1.0 END)) AS uvec
+       FROM v),
 cents0 AS (SELECT CAST(vec_id AS INT) AS cid, vec AS cvec FROM v
            WHERE vec_id < {n_centroids}),{train}
 cents AS (SELECT cid, cvec FROM {final}),
@@ -2835,7 +2843,7 @@ FROM (SELECT CAST(floor(n_chars / 100) AS BIGINT) AS b FROM documents
 GROUP BY b ORDER BY range_lo
 """,
         "dedup_embedding_lsh": _emb_lsh_pairs_sql(),
-        "ann_ivf_topk": _ivf_ann_sql(train_iters=3),
+        "ann_ivf_topk": _ivf_ann_sql(n_centroids=16, nprobe=4, train_iters=3),
         "more_like_this": _mlt_sql(),
         "search_collapse": _collapse_sql(_Q_OR, 8, 2),
         # the stream-capable window helper, batch-equivalent oracle

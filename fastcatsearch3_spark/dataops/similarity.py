@@ -152,12 +152,16 @@ def kmeans_centroids(
     n_centroids: int = 8,
     iters: int = 3,
 ) -> list[tuple[int, list[float]]]:
-    """Lloyd's k-means over the embedding column, as ``iters`` iterative
-    DataFrame jobs (the near_dup_clusters propagation pattern): each round
-    is one broadcast-assign pass (cosine argmax against the tiny centroid
-    table — a hash aggregate with map-side partial combine, no window
-    shuffle) plus one per-dimension mean (posexplode → (cid, pos) hash
-    agg, rows ∝ n×dim). The centroid table itself is O(k·dim) — it is
+    """SPHERICAL Lloyd's k-means over the embedding column, as ``iters``
+    iterative DataFrame jobs (the near_dup_clusters propagation pattern):
+    each round is one broadcast-assign pass (cosine argmax against the
+    tiny centroid table — a hash aggregate with map-side partial combine,
+    no window shuffle) plus one per-dimension mean of the UNIT-normalized
+    members (posexplode → (cid, pos) hash agg, rows ∝ n×dim). Averaging
+    unit vectors — not raw vectors — is the correct centroid update under
+    a cosine assignment (vector magnitudes would otherwise dominate the
+    mean; cosine argmax itself is scale-invariant, so the centroid needs
+    no re-normalization). The centroid table is O(k·dim) — it is
     collected to the driver between rounds, which both truncates lineage
     (no per-iteration plan doubling) and is the natural representation for
     the broadcast join of the next round. Determinism: init is the
@@ -169,7 +173,19 @@ def kmeans_centroids(
     Returns [(cid, centroid_vector)] — feed to ``ivf_ann_topk`` via
     ``train_iters`` or persist as the IVF index's centroid artifact."""
     spark = emb.sparkSession
-    v = emb.select("vec_id", _dvec("embedding").alias("vec"))
+    raw = _dvec("embedding")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(raw, raw, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+    )
+    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+    v = emb.select(
+        "vec_id",
+        raw.alias("vec"),
+        F.transform(raw, lambda x: x / safe).alias("uvec"),
+    )
     cents = [
         (int(r["vec_id"]), list(r["vec"]))
         for r in v.where(F.col("vec_id") < n_centroids).collect()
@@ -181,17 +197,17 @@ def kmeans_centroids(
         csim = _dot("vec", "cvec") / (_norm("vec") * _norm("cvec"))
         assign = (
             v.crossJoin(F.broadcast(cdf))
-            .select("vec_id", "cid", csim.alias("csim"), "vec")
+            .select("vec_id", "cid", csim.alias("csim"), "uvec")
             .groupBy("vec_id")
             .agg(
                 F.max_by(
-                    F.struct("cid", "vec"), F.struct(F.col("csim"), -F.col("cid"))
+                    F.struct("cid", "uvec"), F.struct(F.col("csim"), -F.col("cid"))
                 ).alias("best")
             )
-            .select(F.col("best.cid").alias("cid"), F.col("best.vec").alias("vec"))
+            .select(F.col("best.cid").alias("cid"), F.col("best.uvec").alias("uvec"))
         )
         means = (
-            assign.select("cid", F.posexplode("vec").alias("pos", "val"))
+            assign.select("cid", F.posexplode("uvec").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.round(F.avg("val"), 6).alias("m"))
             .groupBy("cid")

@@ -23,8 +23,8 @@ from fastcatsearch3_spark.dataops import similarity as SIM  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_probes = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    n_centroids = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    nprobe = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    n_centroids = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    nprobe = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     k = 10
 
     spark = (
