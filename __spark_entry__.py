@@ -1600,7 +1600,10 @@ def _minhash_sql() -> str:
     return f"""
 WITH {_PAIR_JACCARD.strip().rstrip()},
 sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
-bands AS ({bands}),
+bands0 AS ({bands}),
+bok AS (SELECT band, band_key FROM bands0 GROUP BY band, band_key
+        HAVING count(*) <= {D.MAX_BUCKET}),
+bands AS (SELECT b.* FROM bands0 b JOIN bok USING (band, band_key)),
 cand AS (
   SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
   FROM bands a JOIN bands b USING (band, band_key)
@@ -1665,7 +1668,10 @@ shd AS (SELECT DISTINCT match_id, {shingle_expr} shingle
 sigb AS (SELECT doc_id, {sigs('doc_id')} FROM shb GROUP BY doc_id),
 sigd AS (SELECT match_id, {sigs('match_id')} FROM shd GROUP BY match_id),
 bb AS ({bands('sigb', 'doc_id')}),
-bd AS ({bands('sigd', 'match_id')}),
+bd0 AS ({bands('sigd', 'match_id')}),
+bdok AS (SELECT band, band_key FROM bd0 GROUP BY band, band_key
+         HAVING count(*) <= {D.MAX_BUCKET}),
+bd AS (SELECT b.* FROM bd0 b JOIN bdok USING (band, band_key)),
 cand AS (SELECT DISTINCT bb.doc_id, bd.match_id
          FROM bb JOIN bd USING (band, band_key)),
 szb AS (SELECT doc_id, count(*) sz FROM shb GROUP BY doc_id),
@@ -1734,7 +1740,10 @@ def _clusters_sql(threshold_e4: int = 6000) -> str:
     return f"""
 WITH RECURSIVE {_PAIR_JACCARD.strip().rstrip()},
 sig AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id),
-bands AS ({bands}),
+bands0 AS ({bands}),
+bok AS (SELECT band, band_key FROM bands0 GROUP BY band, band_key
+        HAVING count(*) <= {D.MAX_BUCKET}),
+bands AS (SELECT b.* FROM bands0 b JOIN bok USING (band, band_key)),
 cand AS (
   SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
   FROM bands a JOIN bands b USING (band, band_key)
@@ -1783,7 +1792,10 @@ sh2 AS (
     CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
              ELSE 0 END) AS BIGINT) simhash
   FROM votes GROUP BY doc_id),
-bands AS ({bands}),
+bands0 AS ({bands}),
+bok AS (SELECT band, band_key FROM bands0 GROUP BY band, band_key
+        HAVING count(*) <= {D.MAX_BUCKET}),
+bands AS (SELECT b.* FROM bands0 b JOIN bok USING (band, band_key)),
 cand AS (
   SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
   FROM bands a JOIN bands b USING (band, band_key)

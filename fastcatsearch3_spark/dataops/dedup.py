@@ -58,6 +58,7 @@ def _pin_iter(df: DataFrame) -> DataFrame:
 
 NUM_HASHES = 16
 BANDS = 4  # rows per band = NUM_HASHES // BANDS
+MAX_BUCKET = 256  # band buckets above this are dropped (see _cap_buckets)
 SIMHASH_BITS = 63  # fits signed BIGINT
 SIMHASH_BANDS = 3  # 21 bits each
 
@@ -214,6 +215,28 @@ def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.band_key")
 
 
+def _cap_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop band buckets larger than ``max_bucket`` before a candidate
+    join. A bucket with B members contributes B(B−1)/2 candidate pairs,
+    and on low-diversity (template-heavy) corpora single buckets capture
+    hundreds of docs, degenerating the band equi-join to O(n²) — measured
+    on the A/B near-dup corpus: 4.3 M candidate pairs at 25 k docs with a
+    1,026-doc bucket in one SimHash band (BENCH/DEDUP_AB_r03.md). An
+    oversized bucket carries almost no discriminating information, so
+    dropping it is the standard LSH cost/recall trade; true near-dups
+    still meet in the other bands' smaller buckets. One count aggregate
+    over the (bands × n)-row band relation — cheap at every scale."""
+    if max_bucket is None:
+        return banded
+    ok = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bsz"))
+        .where(F.col("bsz") <= max_bucket)
+        .select("band", "band_key")
+    )
+    return banded.join(ok, ["band", "band_key"], "left_semi")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     cfg: EngineConfig | None = None,
@@ -221,15 +244,17 @@ def minhash_lsh_pairs(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     top: int = 50,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """Banded-LSH candidate pairs verified with exact Jaccard.
 
     Scale path: signatures are K small columns per doc; each band is one
     md5 over its rows; the candidate join is an equi-join on band_key —
     cost proportional to true near-duplicates, NOT all pairs (this is the
-    shingle self-join's scalable replacement). Output:
+    shingle self-join's scalable replacement); buckets above
+    ``max_bucket`` are dropped (``_cap_buckets``). Output:
     doc_a, doc_b, jaccard_e4 — top-N by verified similarity."""
-    verified = _lsh_verified(docs, cfg, n, num_hashes, bands)
+    verified = _lsh_verified(docs, cfg, n, num_hashes, bands, max_bucket)
     return (
         verified.select(
             "doc_a",
@@ -247,6 +272,7 @@ def _lsh_verified(
     n: int = 3,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """Verified LSH pairs (doc_a < doc_b, exact ``jaccard``), unlimited —
     the shared feeder for top-pairs reporting and cluster assignment.
@@ -260,7 +286,7 @@ def _lsh_verified(
     of tokenization), so its analyzer cost is ∝ candidates — cheaper at
     every scale than writing the full token stream to storage."""
     sig = _pin(minhash_signatures(docs, cfg, n, num_hashes))
-    banded = _band_rows(sig, num_hashes, bands)
+    banded = _cap_buckets(_band_rows(sig, num_hashes, bands), max_bucket)
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (
@@ -316,6 +342,7 @@ def dedup_against(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     min_jaccard: float = 0.5,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """Incremental (cross-corpus) dedup: flag BATCH docs that duplicate
     the BASE corpus, never re-deduping the base itself — the daily-ingest
@@ -357,9 +384,12 @@ def dedup_against(
     cand = _pin(
         _band_rows(sig_rest, num_hashes, bands)
         .join(
-            _band_rows(sig_base, num_hashes, bands).select(
-                "band", "band_key", F.col("doc_id").alias("match_id")
-            ),
+            # base-side oversized buckets capped (the base is the big
+            # side; one degenerate bucket would fan every batch probe out
+            # to hundreds of verify candidates)
+            _cap_buckets(
+                _band_rows(sig_base, num_hashes, bands), max_bucket
+            ).select("band", "band_key", F.col("doc_id").alias("match_id")),
             ["band", "band_key"],
         )
         .select("doc_id", "match_id")
@@ -416,6 +446,7 @@ def minhash_index_build(
     n: int = 3,
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> None:
     """Persist the corpus's dedup artifact — built ONCE per curated-
     corpus epoch (like the search index) so each ingest batch pays only
@@ -438,7 +469,9 @@ def minhash_index_build(
     # -> write): every relation is consumed exactly once, nothing pinned
     sig = minhash_signatures(docs, cfg, n, num_hashes)
     (
-        _band_rows(sig, num_hashes, bands)
+        # oversized buckets are dropped at BUILD time so every future
+        # probe inherits the cap without re-scanning the band table
+        _cap_buckets(_band_rows(sig, num_hashes, bands), max_bucket)
         .sortWithinPartitions("band", "band_key")
         .write.mode("overwrite")
         .parquet(str(Path(out_dir) / "bands"))
@@ -458,6 +491,7 @@ def minhash_index_build(
                 "num_hashes": num_hashes,
                 "bands": bands,
                 "analyzer": cfg.analyzer,
+                "max_bucket": max_bucket,
             }
         )
     )
@@ -473,6 +507,7 @@ def dedup_against_index(
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
     min_jaccard: float = 0.5,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """``dedup_against`` probing the PERSISTED artifact
     (``minhash_index_build``) instead of recomputing base signatures or
@@ -491,7 +526,7 @@ def dedup_against_index(
     cfg = cfg or EngineConfig()
     want = {
         "n": n, "num_hashes": num_hashes, "bands": bands,
-        "analyzer": cfg.analyzer,
+        "analyzer": cfg.analyzer, "max_bucket": max_bucket,
     }
     manifest = json.loads(Path(index_dir, "manifest.json").read_text())
     if manifest != want:
@@ -716,10 +751,14 @@ def simhash(docs: DataFrame, cfg: EngineConfig | None = None,
 def simhash_top_pairs(
     docs: DataFrame, cfg: EngineConfig | None = None, top: int = 50,
     bands: int = SIMHASH_BANDS, bits: int = SIMHASH_BITS,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share ≥1 of ``bands`` bit-bands
     (equi-join — the scalable step), ranked by Hamming distance ascending.
-    Output: doc_a, doc_b, hamming."""
+    Buckets above ``max_bucket`` are dropped before the self-join
+    (``_cap_buckets``) — SimHash bands degenerate especially hard on
+    template-heavy corpora because similar token DISTRIBUTIONS (not just
+    near-dup pairs) collide. Output: doc_a, doc_b, hamming."""
     width = bits // bands
     mask = (1 << width) - 1
     # (doc_id, int64) — one tiny row per doc, pinned once; referenced by
@@ -734,9 +773,12 @@ def simhash_top_pairs(
         )
         for b in range(bands)
     ]
-    banded = sh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.band_key")
+    banded = _cap_buckets(
+        sh.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+        ).select("doc_id", "bb.band", "bb.band_key"),
+        max_bucket,
+    )
     a = banded.alias("a")
     b_ = banded.alias("b")
     cand = (

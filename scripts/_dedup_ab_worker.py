@@ -45,6 +45,13 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(max(32, cpus * 2)))
         .config("spark.driver.memory", "12g")
+        # the generated corpus is n_files smallish parquet files; the
+        # default 128MB maxPartitionBytes would pack them into 1-2 input
+        # partitions and serialize the tokenize stage for BOTH variants —
+        # split finer so input parallelism matches the core count, as a
+        # real cluster reading a large corpus would have
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
