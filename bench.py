@@ -59,6 +59,7 @@ def main() -> None:
     n_docs = corpus.count()
 
     root = tempfile.mkdtemp(prefix="fcs3_bench_")
+    root_pos = tempfile.mkdtemp(prefix="fcs3_bench_pos_")
     try:
         # --- headline 1: cold index build (I-1..I-7) --------------------
         t0 = time.monotonic()
@@ -89,42 +90,50 @@ def main() -> None:
 
         # --- positional index + phrase query (J-5, r2) ------------------
         # separate build so the headline index_build stays comparable to
-        # the r1 baseline; the delta shows what positions cost
-        root_pos = tempfile.mkdtemp(prefix="fcs3_bench_pos_")
-        try:
-            pos_cfg = EngineConfig(store_positions=True)
+        # the r1 baseline; the delta shows what positions cost. The store
+        # stays alive for the mixed batch below (its phrase needs
+        # positions); removed in the outer finally.
+        pos_cfg = EngineConfig(store_positions=True)
+        t0 = time.monotonic()
+        build_index(spark, corpus, root_pos, pos_cfg, resume=False)
+        timings["index_build_positions"] = round(time.monotonic() - t0, 3)
+        store_pos = IndexStore(root_pos)
+        reps = []
+        for _ in range(3):
             t0 = time.monotonic()
-            build_index(spark, corpus, root_pos, pos_cfg, resume=False)
-            timings["index_build_positions"] = round(time.monotonic() - t0, 3)
-            store_pos = IndexStore(root_pos)
-            reps = []
-            for _ in range(3):
-                t0 = time.monotonic()
-                search_index(spark, store_pos, '"spark merge"', k=10).collect()
-                reps.append(time.monotonic() - t0)
-            timings["q_phrase"] = round(min(reps), 3)
-            lat.extend(reps)
-        finally:
-            shutil.rmtree(root_pos, ignore_errors=True)
+            search_index(spark, store_pos, '"spark merge"', k=10).collect()
+            reps.append(time.monotonic() - t0)
+        timings["q_phrase"] = round(min(reps), 3)
+        lat.extend(reps)
 
         # --- batch query execution (throughput mode) -------------------
+        # amortization is measured head-to-head: the SAME mixed batch
+        # (flat AND/OR/NOT + a phrase + a nested tree — the full r3 batch
+        # surface) once through search_many (one shared scan + one kernel
+        # pass) and once as sequential singles; q_batch_amortization =
+        # singles / batch
+        from fastcatsearch3_spark.plans.query import parse_query
         from fastcatsearch3_spark.plans.search import search_many
 
+        batch_qs = {
+            "b1": ParsedQuery(terms=["spark", "merge"], op="AND"),
+            "b2": ParsedQuery(terms=["vector", "stream"], op="OR"),
+            "b3": ParsedQuery(terms=["table"], not_terms=["hash"], op="AND"),
+            "b4": ParsedQuery(terms=["index", "build"], op="AND"),
+            "b5": ParsedQuery(terms=["line"], op="AND"),
+            "b6": parse_query('"spark merge"', cfg),
+            "b7": parse_query("((spark merge) OR (vector stream)) -slow", cfg),
+        }
         t0 = time.monotonic()
-        search_many(
-            spark, store,
-            {
-                "b1": ParsedQuery(terms=["spark", "merge"], op="AND"),
-                "b2": ParsedQuery(terms=["vector", "stream"], op="OR"),
-                "b3": ParsedQuery(
-                    terms=["table"], not_terms=["hash"], op="AND"
-                ),
-                "b4": ParsedQuery(terms=["index", "build"], op="AND"),
-                "b5": ParsedQuery(terms=["line"], op="AND"),
-            },
-            k=10,
-        ).collect()
-        timings["q_batch5"] = round(time.monotonic() - t0, 3)
+        search_many(spark, store_pos, batch_qs, k=10).collect()
+        timings["q_batch7"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        for pq in batch_qs.values():
+            search_index(spark, store_pos, pq, k=10).collect()
+        timings["q_batch7_singles"] = round(time.monotonic() - t0, 3)
+        timings["q_batch_amortization"] = round(
+            timings["q_batch7_singles"] / timings["q_batch7"], 2
+        )
 
         # --- hybrid retrieval (BM25 + dense re-rank) --------------------
         from fastcatsearch3_spark.plans.search import hybrid_search
@@ -248,6 +257,7 @@ def main() -> None:
         timings["pack_sequences"] = round(time.monotonic() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root_pos, ignore_errors=True)
 
     total = time.monotonic() - t_all
     out = {

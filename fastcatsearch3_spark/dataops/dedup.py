@@ -35,13 +35,27 @@ from fastcatsearch3_spark.operators.build import tokens_raw_column
 def _pin(df: DataFrame) -> DataFrame:
     """Pin a SMALL, multiply-referenced relation (signatures, candidate
     pairs, per-candidate shingle sets — all ∝ docs or ∝ near-dups, never
-    ∝ token stream). DISK_ONLY persist instead of localCheckpoint: blocks
-    are recomputable from lineage after an executor loss (localCheckpoint
-    truncates lineage and stores unreplicated executor-local blocks — a
-    single lost executor kills a 100 TB job). The corpus-sized shingle
-    relation is deliberately NEVER pinned: its one reuse (candidate
-    verification) re-derives shingles for candidate docs only, which is
-    cheaper at every scale than materializing the full token stream."""
+    ∝ token stream).
+
+    Mode is gated on the deploy target, because the two mechanisms trade
+    exactly the property that differs between them:
+
+      * on a CLUSTER → ``persist(DISK_ONLY)``: blocks stay recomputable
+        from lineage after an executor loss (localCheckpoint truncates
+        lineage and stores unreplicated executor-local blocks — a single
+        lost executor kills a 100 TB job);
+      * on ``local[*]`` → ``localCheckpoint(eager=False)``: there are no
+        executor losses distinct from driver death (one JVM), so the
+        fragility localCheckpoint trades away does not exist — and it
+        skips the columnar-cache serialize/scan cost that measures ~2×
+        on small corpora (BENCH/DEDUP_AB_r03.md variant study).
+
+    The corpus-sized shingle relation is deliberately NEVER pinned: its
+    one reuse (candidate verification) re-derives shingles for candidate
+    docs only, which is cheaper at every scale than materializing the
+    full token stream."""
+    if df.sparkSession.sparkContext.master.startswith("local"):
+        return df.localCheckpoint(eager=False)
     return df.persist(StorageLevel.DISK_ONLY)
 
 
@@ -435,8 +449,7 @@ def _exact_against(base_sha: DataFrame, batch: DataFrame) -> DataFrame:
             F.lit("exact").alias("kind"),
             F.lit(10000).cast("long").alias("jaccard_e4"),
         )
-        .persist(StorageLevel.DISK_ONLY)
-    )
+    ).transform(_pin)
 
 
 def minhash_index_build(
