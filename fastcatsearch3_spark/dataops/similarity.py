@@ -353,3 +353,110 @@ def quantized_ann_topk(
         .orderBy(F.desc("sim_e4"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_index_build(
+    emb: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    train_iters: int = 3,
+) -> None:
+    """Persist the IVF artifact — built once per corpus epoch (like the
+    search index and the MinHash band table) so query-time cost is
+    centroid-table lookup + an nprobe-pruned scan. Layout under
+    ``out_dir``:
+
+      centroids/     (cid, cvec) — k·dim doubles, spherical-k-means
+                     trained (``kmeans_centroids``); read whole (tiny)
+      lists/         (vec_id, vec) PARTITIONED BY cid — the inverted
+                     lists; a probe reading ``cid IN (...)`` touches only
+                     its nprobe partitions (directory-level pruning, the
+                     parquet analogue of IVF list seeks)
+      manifest.json  {n_centroids, train_iters, dim} — probe validation
+
+    Assignment is the same broadcast cosine-argmax hash aggregate as
+    ``ivf_ann_topk`` (one narrow pass; no window shuffle); the partitioned
+    write shuffles on cid once, at build time, never at query time."""
+    import json
+    from pathlib import Path
+
+    spark = emb.sparkSession
+    cents = kmeans_centroids(emb, n_centroids, iters=train_iters)
+    cdf = spark.createDataFrame(cents, "cid int, cvec array<double>")
+    cdf.write.mode("overwrite").parquet(str(Path(out_dir) / "centroids"))
+    v = emb.select("vec_id", _dvec("embedding").alias("vec"))
+    csim = _dot("vec", "cvec") / (_norm("vec") * _norm("cvec"))
+    assign = (
+        v.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cid", csim.alias("csim"), "vec")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "vec"), F.struct(F.col("csim"), -F.col("cid"))
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.vec").alias("vec"))
+    )
+    (
+        assign.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(str(Path(out_dir) / "lists"))
+    )
+    dim = len(cents[0][1]) if cents else 0
+    Path(out_dir, "manifest.json").write_text(
+        json.dumps(
+            {"n_centroids": n_centroids, "train_iters": train_iters, "dim": dim}
+        )
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    probe_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Query the persisted IVF artifact: nearest ``nprobe`` centroids are
+    chosen DRIVER-side from the collected centroid table (k·dim doubles —
+    the same O(k) scale as a lexicon lookup), then the inverted lists are
+    read with ``cid IN (...)`` so parquet partition pruning skips every
+    other list directory — query cost ∝ nprobe/n_centroids of the corpus
+    regardless of corpus size. ``probe_vec`` is any query vector (not
+    required to be a corpus member). Output: (vec_id, sim_e4) top-k by
+    exact cosine within the probed lists."""
+    import json
+    import math
+    from pathlib import Path
+
+    manifest = json.loads(Path(index_dir, "manifest.json").read_text())
+    cents = spark.read.parquet(str(Path(index_dir) / "centroids")).collect()
+    pn = math.sqrt(sum(x * x for x in probe_vec))
+    if len(probe_vec) != manifest["dim"]:
+        raise ValueError(
+            f"probe dim {len(probe_vec)} != index dim {manifest['dim']}"
+        )
+
+    def cos(cvec) -> float:
+        d = sum(x * y for x, y in zip(probe_vec, cvec))
+        n = math.sqrt(sum(x * x for x in cvec))
+        return d / (pn * n) if pn > 0 and n > 0 else -2.0
+
+    ranked = sorted(cents, key=lambda r: (-cos(r["cvec"]), r["cid"]))
+    cids = [int(r["cid"]) for r in ranked[:nprobe]]
+    lists = spark.read.parquet(str(Path(index_dir) / "lists")).where(
+        F.col("cid").isin(cids)
+    )
+    if exclude_vec_id is not None:
+        lists = lists.where(F.col("vec_id") != exclude_vec_id)
+    qvec = F.array(*[F.lit(float(x)) for x in probe_vec])
+    sim = _dot("vec", qvec) / (_norm("vec") * _norm(qvec))
+    return (
+        lists.select(
+            "vec_id", F.round(sim * 10000).cast("long").alias("sim_e4")
+        )
+        .orderBy(F.desc("sim_e4"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -372,3 +372,49 @@ def test_near_dup_clusters_transitive(spark):
     )
     assert out[10] == out[20] == out[30] == 10
     assert out[40] == 40
+
+
+def test_ivf_index_matches_inline_and_prunes(spark, tmp_path, sf_dir):
+    """The persisted IVF artifact returns the same top-k as the inline
+    k-means IVF for the same parameters, and its list scan reads ONLY the
+    nprobe probed cid partitions (directory-level pruning)."""
+    from pyspark.sql import functions as F
+
+    from fastcatsearch3_spark.dataops.similarity import (
+        ivf_ann_topk,
+        ivf_index_build,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_idx")
+    ivf_index_build(emb, idx, n_centroids=16, train_iters=3)
+
+    probe_id = 7
+    probe_vec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == probe_id).collect()[0]["embedding"]
+    ]
+    inline = ivf_ann_topk(
+        emb, probe_id=probe_id, k=10, n_centroids=16, nprobe=4, train_iters=3
+    ).collect()
+    indexed = ivf_index_topk(
+        spark, idx, probe_vec, k=10, nprobe=4, exclude_vec_id=probe_id
+    ).collect()
+    assert [(r["vec_id"], r["sim_e4"]) for r in indexed] == [
+        (r["vec_id"], r["sim_e4"]) for r in inline
+    ]
+
+    # pruning: the filtered scan must actually read only the probed cid
+    # directories (input_file_name() reflects the executed, pruned scan —
+    # DataFrame.inputFiles() is pre-pruning and lists everything)
+    lists = spark.read.parquet(f"{idx}/lists").where(
+        F.col("cid").isin([0, 1])
+    )
+    touched = {
+        r["f"].split("cid=")[1].split("/")[0]
+        for r in lists.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert touched <= {"0", "1"} and touched
