@@ -154,15 +154,17 @@ class IndexStore:
             self._lex_cache.pop(next(iter(self._lex_cache)))
         missing = [t for t in terms if t not in self._lex_cache]
         if missing:
-            from pyspark.sql import functions as F
+            found = self._lexicon_lookup_arrow(missing)
+            if found is None:
+                from pyspark.sql import functions as F
 
-            rows = (
-                self.lexicon(spark)
-                .where(F.col("term").isin(missing))
-                .select("term", "df")
-                .collect()
-            )
-            found = {r["term"]: r["df"] for r in rows}
+                rows = (
+                    self.lexicon(spark)
+                    .where(F.col("term").isin(missing))
+                    .select("term", "df")
+                    .collect()
+                )
+                found = {r["term"]: r["df"] for r in rows}
             for t in missing:
                 self._lex_cache[t] = found.get(t)
         return {
@@ -170,6 +172,30 @@ class IndexStore:
             for t in terms
             if self._lex_cache.get(t) is not None
         }
+
+    def _lexicon_lookup_arrow(self, terms: list[str]) -> dict | None:
+        """Cold-term lexicon lookup WITHOUT a Spark job: the lexicon
+        parquet is itself the shared term-stats store (SURVEY §10.5 — any
+        number of driver/serving processes read the same epoch-versioned
+        artifact), so a driver-side pyarrow dataset read with a pushed
+        ``term IN (...)`` filter serves it in milliseconds — parquet
+        row-group statistics prune the scan (the lexicon is written
+        term-sorted), and no executor or scheduler is involved. Returns
+        None when pyarrow can't reach the store (exotic remote
+        filesystems) — callers fall back to the Spark scan, which reads
+        anywhere Spark reads."""
+        try:
+            import pyarrow.dataset as pds
+
+            tbl = pds.dataset(self._p("lexicon"), format="parquet").to_table(
+                columns=["term", "df"],
+                filter=pds.field("term").isin(terms),
+            )
+            return dict(
+                zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+            )
+        except Exception:  # noqa: BLE001 — any reader failure → Spark path
+            return None
 
     def _deletes_listing(self) -> str:
         """Sorted name:size listing of the deletes parts — the mutable

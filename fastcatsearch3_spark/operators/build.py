@@ -886,7 +886,17 @@ def publish_lexicon(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
     schemas.assert_schema(lex, schemas.LEXICON, "lexicon")
-    lex.write.mode("overwrite").parquet(str(root / "lexicon"))
+    # term-range-partitioned + sorted: parquet min/max statistics then
+    # prune cold-term lookups (IndexStore._lexicon_lookup_arrow reads this
+    # artifact driver-side with a pushed term filter — file- and
+    # row-group-level pruning make that O(query terms), not O(vocab)).
+    # One extra shuffle of the vocab-sized relation, paid once per build.
+    (
+        lex.repartitionByRange("term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(str(root / "lexicon"))
+    )
 
     # corpus stats: summed from per-segment manifests (already audited at
     # write time via Observation) — no docmap re-scan job; fall back to a

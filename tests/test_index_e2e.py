@@ -192,3 +192,23 @@ def test_shuffled_corpus_falls_back_to_staged(spark, corpus, tmp_path):
     B.build_index(spark, shuffled, root, CFG)
     m = json.loads(open(f"{root}/manifest/segment-0.json").read())
     assert m["metrics"]["staged_checkpoint"] is True
+
+
+def test_lexicon_arrow_lookup_matches_spark(spark, store):
+    """The driver-side pyarrow lexicon lookup (no Spark job) returns the
+    same term→df map as the Spark scan fallback, omits absent terms the
+    same way, and actually takes the arrow path on a local store."""
+    terms = ["spark", "merge", "zzz_not_a_term", "table"]
+    direct = store._lexicon_lookup_arrow(terms)
+    assert direct is not None  # local filesystem → arrow path must work
+    # fresh store → clean cache; force the Spark path by disabling arrow
+    spark_store = IndexStore(store.root)
+    spark_store._lexicon_lookup_arrow = lambda _t: None
+    via_spark = spark_store.df_for_terms(spark, terms)
+    arrow_store = IndexStore(store.root)
+    via_arrow = arrow_store.df_for_terms(spark, terms)
+    assert via_arrow == via_spark
+    assert "zzz_not_a_term" not in via_arrow and "spark" in via_arrow
+    assert {t: d for t, d in direct.items() if d is not None} == {
+        t: via_arrow[t] for t in direct if t in via_arrow
+    }
