@@ -197,6 +197,38 @@ class IndexStore:
         except Exception:  # noqa: BLE001 — any reader failure → Spark path
             return None
 
+    def prefix_df_arrow(
+        self, prefix: str, limit: int
+    ) -> list[tuple[str, int]] | None:
+        """Prefix expansion against the lexicon WITHOUT a Spark job: the
+        sorted lexicon parquet is range-scanned driver-side with
+        ``prefix <= term < successor(prefix)`` (the exact startswith
+        interval — successor increments the last code point), so parquet
+        min/max statistics prune to the few row groups holding the prefix
+        range. Returns (term, df) rows ordered (df desc, term asc) capped
+        at ``limit``; None → caller falls back to the Spark scan."""
+        if not prefix or prefix[-1] >= "\U0010ffff":
+            return None
+        try:
+            import pyarrow.dataset as pds
+
+            succ = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            tbl = pds.dataset(self._p("lexicon"), format="parquet").to_table(
+                columns=["term", "df"],
+                filter=(pds.field("term") >= prefix)
+                & (pds.field("term") < succ),
+            )
+            rows = sorted(
+                zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist(),
+                ),
+                key=lambda r: (-r[1], r[0]),
+            )
+            return rows[:limit]
+        except Exception:  # noqa: BLE001 — any reader failure → Spark path
+            return None
+
     def _deletes_listing(self) -> str:
         """Sorted name:size listing of the deletes parts — the mutable
         half of the epoch (deletes are append-mode parquet parts, so any

@@ -199,9 +199,18 @@ def _expand_prefixes(
     ]
     if not placeholders:
         return pq
-    lexdf = store.lexicon(spark)
+    lexdf = None
     expansions: dict[str, list[str]] = {}
     for ph in placeholders:
+        # driver-side range scan of the sorted lexicon parquet first (no
+        # Spark job — see IndexStore.prefix_df_arrow); Spark fallback
+        # keeps exotic filesystems working with identical ordering
+        got = store.prefix_df_arrow(ph[:-1], cfg.max_prefix_expansion)
+        if got is not None:
+            expansions[ph] = [t for t, _ in got]
+            continue
+        if lexdf is None:
+            lexdf = store.lexicon(spark)
         rows = (
             lexdf.where(F.col("term").startswith(ph[:-1]))
             .select("term", "df")
