@@ -237,6 +237,19 @@ def parse_multifield(
     )
 
 
+def _fuzzy_suffix(w: str) -> tuple[str, int] | None:
+    """``word~`` / ``word~1`` / ``word~2`` → (stem, distance); None when
+    the word carries no fuzzy marker. Bare ``~`` defaults to distance 2
+    (Lucene's fuzzy default). Quoted-phrase slop (``"..."~N``) never
+    reaches here — phrases are extracted before word parsing."""
+    import re
+
+    m = re.search(r"~([12])?$", w)
+    if m is None or m.start() == 0:
+        return None
+    return w[: m.start()], int(m.group(1) or 2)
+
+
 def _split_boost(w: str) -> tuple[str, float | None]:
     """Strip a trailing caret boost: "spark^2.5" → ("spark", 2.5)."""
     import re as _re
@@ -291,6 +304,15 @@ def _word_node(
                 f"prefix term {w!r} must analyze to one token, got {toks}"
             )
         return Node("term", term=note(pref + toks[0] + "*"))
+    fz = _fuzzy_suffix(w)
+    if fz is not None:
+        stem, d = fz
+        pref, toks = _analyze_word(stem, cfg)
+        if len(toks) != 1:
+            raise ValueError(
+                f"fuzzy term {w!r} must analyze to one token, got {toks}"
+            )
+        return Node("term", term=note(f"{pref}{toks[0]}~{d}"))
     pref, toks = _analyze_word(w, cfg)
     if not toks:
         raise ValueError(f"query word {w!r} analyzed to nothing")
@@ -522,6 +544,25 @@ def parse_query(
             gid += 1
             has_prefix = True
             continue
+        fz = _fuzzy_suffix(w)
+        if fz is not None:
+            # fuzzy term: "sparc~1" (Lucene ~ syntax; bare "~" = distance
+            # 2) → placeholder "sparc~1" kept in the term list;
+            # search_index expands it against the lexicon into a
+            # synonym-style group of terms within Levenshtein distance,
+            # exactly like a prefix placeholder. Unambiguous vs phrase
+            # slop ('"..."~N'), which is quoted and parsed earlier.
+            stem, d = fz
+            pref, toks = analyze_word(stem)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"fuzzy term {w!r} must analyze to one token, got {toks}"
+                )
+            terms.append(note(f"{pref}{toks[0]}~{d}"))
+            groups.append(gid)
+            gid += 1
+            has_prefix = True
+            continue
         pref, toks = analyze_word(w)
         for t in toks:
             terms.append(note(pref + t))
@@ -537,6 +578,8 @@ def parse_query(
         w, _ = _split_boost(w)  # a boost on a NOT clause is meaningless
         if w.endswith("*") and len(w) > 1:
             raise ValueError("prefix terms are not supported in NOT clauses")
+        if _fuzzy_suffix(w) is not None:
+            raise ValueError("fuzzy terms are not supported in NOT clauses")
         pref, toks = analyze_word(w)
         nterms.extend(pref + t for t in toks)
     # de-dup, order-preserving (duplicate query terms score once, matching

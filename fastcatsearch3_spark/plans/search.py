@@ -194,14 +194,52 @@ def _expand_prefixes(
     ``cfg.max_prefix_expansion`` keeping highest-df terms (deterministic
     tie-break on term). Returns None when an AND-required prefix matches
     nothing (the whole query can't match)."""
+    from fastcatsearch3_spark.plans.query import _fuzzy_suffix
+
     placeholders = [
-        t for t in pq.terms + pq.not_terms if t.endswith("*")
+        t
+        for t in pq.terms + pq.not_terms
+        if t.endswith("*") or _fuzzy_suffix(t) is not None
     ]
     if not placeholders:
         return pq
     lexdf = None
     expansions: dict[str, list[str]] = {}
     for ph in placeholders:
+        fz = _fuzzy_suffix(ph)
+        if fz is not None:
+            # fuzzy placeholder: lexicon terms within Levenshtein d of the
+            # stem (exact term first at dist 0), ranked (dist asc, df
+            # desc, term asc), capped. The candidate scan is length-banded
+            # (|len−len(stem)| ≤ d is a Levenshtein lower bound) so the
+            # JVM levenshtein() touches a sliver of the vocab-sized
+            # lexicon; field-qualified stems restrict candidates to their
+            # field namespace and measure distance on the payload
+            # (Levenshtein is invariant under a shared prefix).
+            stem, d = fz
+            pref, base = (
+                (stem.rsplit(":", 1)[0] + ":", stem.rsplit(":", 1)[1])
+                if ":" in stem
+                else ("", stem)
+            )
+            lex = store.lexicon(spark)
+            if pref:
+                lex = lex.where(F.col("term").startswith(pref))
+            payload = F.expr(f"substring(term, {len(pref) + 1})")
+            ln = len(base)
+            rows = (
+                lex.where(
+                    (F.length(payload) >= ln - d)
+                    & (F.length(payload) <= ln + d)
+                )
+                .withColumn("dist", F.levenshtein(payload, F.lit(base)))
+                .where(F.col("dist") <= d)
+                .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+                .limit(cfg.max_prefix_expansion)
+                .collect()
+            )
+            expansions[ph] = [r["term"] for r in rows]
+            continue
         # driver-side range scan of the sorted lexicon parquet first (no
         # Spark job — see IndexStore.prefix_df_arrow); Spark fallback
         # keeps exotic filesystems working with identical ordering
@@ -229,7 +267,9 @@ def _expand_prefixes(
         )
 
         def repl(n: Node) -> Node:
-            if n.kind == "term" and n.term.endswith("*"):
+            if n.kind == "term" and (
+                n.term.endswith("*") or _fuzzy_suffix(n.term) is not None
+            ):
                 reps = expansions.get(n.term, [])
                 if not reps:
                     return Node("false")
