@@ -261,7 +261,7 @@ def test_stream_exact_dedup_ttl_eviction(spark, tmp_path):
         .parquet(str(src))
     )
     q = (
-        stream_exact_dedup(stream, ttl_ms=1500)
+        stream_exact_dedup(stream, ttl_ms=10000)
         .writeStream.format("memory")
         .queryName("dedup_stream_ttl")
         .outputMode("append")
@@ -274,10 +274,31 @@ def test_stream_exact_dedup_ttl_eviction(spark, tmp_path):
         # within TTL: cross-batch dup of 'aaa' suppressed (exact guarantee)
         write([(3, "aaa"), (4, "ccc")], 1)
         wait_ids([1, 2, 4])
-        # let every key's TTL lapse — the engine's own timeout batches
-        # evict the state — then replay 'aaa': re-emits (at-least-once)
-        time.sleep(3.0)
-        write([(6, "aaa")], 2)
+        # let every key's TTL lapse, then make sure a batch RAN after the
+        # expiry (timeouts fire only when a batch runs; a key that next
+        # appears WITH data is processed as data, not as a timeout — so
+        # replaying too early would race the eviction under load). Either
+        # the batch id advances (those batches fire the evictions) or the
+        # engine quiesces (no timeouts left ⇒ eviction already done).
+        # The 10 s TTL is sized WELL above micro-batch latency so the
+        # in-TTL suppression phase above can never race an early eviction.
+        time.sleep(11.0)
+
+        def bid() -> int:
+            p = q.lastProgress
+            return -1 if p is None else int(p["batchId"])
+
+        base, last, same, t0 = bid(), bid(), 0, time.monotonic()
+        while time.monotonic() - t0 < 90.0:
+            time.sleep(0.4)
+            b = bid()
+            if b >= base + 2:
+                break
+            same = same + 1 if b == last else 0
+            last = b
+            if same >= 5:  # ~2 s with no new batch: engine quiesced
+                break
+        write([(6, "aaa")], 2)  # arrives after eviction → re-emits
         wait_ids([1, 2, 4, 6])
     finally:
         q.stop()
