@@ -9,6 +9,15 @@ Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
    "build_docs_per_sec": ..., "query_p50_sec": ..., "query_p95_sec": ...}
+
+Noise policy (this shared host swings one-sided by 2× between identical
+runs — BENCH/WARM_AB_r03.md): warm queries are min-of-3, dedup pipelines
+min-of-2, index_build min-of-2 with BOTH raw times in
+queries.index_build_runs — [0] is the cold first build (comparable to the
+r1/r2 single-pass artifacts), [1] the warm-JVM steady state; the headline
+docs/sec uses the min. The authoritative build-throughput number remains
+the pinned 1M-doc scaling protocol (BENCH/BASELINE.md), not this 5k-doc
+smoke.
 """
 
 from __future__ import annotations
@@ -62,10 +71,23 @@ def main() -> None:
     root_pos = tempfile.mkdtemp(prefix="fcs3_bench_pos_")
     try:
         # --- headline 1: cold index build (I-1..I-7) --------------------
-        t0 = time.monotonic()
-        build_index(spark, corpus, root, cfg, resume=False, verify_integrity=True)
-        t_build = time.monotonic() - t0
-        timings["index_build"] = round(t_build, 3)
+        # min-of-2: single-pass builds on this shared host swing 8.9 to
+        # 19.9 s for identical code (one-sided co-tenant noise, see
+        # BENCH/WARM_AB_r03.md); two passes bound the damage and the
+        # second is also the warm-JVM steady state the pinned scaling
+        # protocol measures. Both raw times are reported.
+        builds = []
+        for i in range(2):
+            tgt = root if i == 0 else tempfile.mkdtemp(prefix="fcs3_bench_b2_")
+            t0 = time.monotonic()
+            build_index(
+                spark, corpus, tgt, cfg, resume=False, verify_integrity=True
+            )
+            builds.append(round(time.monotonic() - t0, 3))
+            if i > 0:
+                shutil.rmtree(tgt, ignore_errors=True)
+        timings["index_build"] = min(builds)
+        timings["index_build_runs"] = builds
         store = IndexStore(root)
 
         # --- headline 2: warm top-k BM25 latency (Q-3..Q-6, BMW) -------
