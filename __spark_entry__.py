@@ -120,12 +120,17 @@ def _unique_tmp(target: Path) -> Path:
 
 def _publish_dir(tmp: Path, target: Path) -> None:
     """Atomic commit of a built artifact dir; tolerates a concurrent
-    winner (our copy is simply dropped)."""
+    winner (our copy is simply dropped). Any rename failure with NO
+    winner in place is a real error (EXDEV/EACCES/EIO) and re-raises —
+    silently dropping the only copy would surface later as a baffling
+    missing-index read."""
     import shutil
 
     try:
         tmp.rename(target)
     except OSError:
+        if not target.exists():
+            raise
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -1521,10 +1526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_ivf_topk": _q_ann_ivf_topk,
-        # -- window tail: core anchors (displaced by new r3 queries) --
+        # -- window tail: core anchor (bm25_fuzzy displaced match_boost
+        # past position 50; match_boost is driver-green from r02) --
         "doclens": _q_doclens,
-        "match_boost": _q_match_boost,
         # ------------------- end of driver-checked window -------------------
+        "match_boost": _q_match_boost,
         "search_hydrate": _q_search_hydrate,
         "tf_filtered_analyzer": _q_tf_filtered_analyzer,
         "tf_code_identifiers": _q_tf_code_identifiers,

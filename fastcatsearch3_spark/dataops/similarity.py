@@ -56,6 +56,15 @@ def _norm(c) -> Column:
     return F.sqrt(_dot(c, c))
 
 
+def _safe_cos(a: str, b: str) -> Column:
+    """Cosine that maps a zero-norm operand to 0.0 instead of null/NaN —
+    keeps centroid-assignment argmax deterministic for degenerate
+    embeddings (an all-zero padding row assigns to the lowest cid rather
+    than to a null struct that would drop it or write a null-cid list)."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den).otherwise(F.lit(0.0))
+
+
 def bucket_of(vec_col: str, planes: list[list[float]]) -> Column:
     """Sign-bit LSH bucket id: bit i = 1 iff dot(vec, plane_i) > 0."""
     acc = F.lit(0).cast("long")
@@ -194,7 +203,7 @@ def kmeans_centroids(
         cdf = spark.createDataFrame(
             [(c, vec) for c, vec in cents], "cid int, cvec array<double>"
         )
-        csim = _dot("vec", "cvec") / (_norm("vec") * _norm("cvec"))
+        csim = _safe_cos("vec", "cvec")
         assign = (
             v.crossJoin(F.broadcast(cdf))
             .select("vec_id", "cid", csim.alias("csim"), "uvec")
@@ -259,7 +268,7 @@ def ivf_ann_topk(
         cents = v.where(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
         )
-    csim = _dot("vec", "cvec") / (_norm("vec") * _norm("cvec"))
+    csim = _safe_cos("vec", "cvec")
     scored = v.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", csim.alias("csim")
     )
@@ -385,7 +394,7 @@ def ivf_index_build(
     cdf = spark.createDataFrame(cents, "cid int, cvec array<double>")
     cdf.write.mode("overwrite").parquet(str(Path(out_dir) / "centroids"))
     v = emb.select("vec_id", _dvec("embedding").alias("vec"))
-    csim = _dot("vec", "cvec") / (_norm("vec") * _norm("cvec"))
+    csim = _safe_cos("vec", "cvec")
     assign = (
         v.crossJoin(F.broadcast(cdf))
         .select("vec_id", "cid", csim.alias("csim"), "vec")

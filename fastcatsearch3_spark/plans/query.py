@@ -240,14 +240,22 @@ def parse_multifield(
 def _fuzzy_suffix(w: str) -> tuple[str, int] | None:
     """``word~`` / ``word~1`` / ``word~2`` → (stem, distance); None when
     the word carries no fuzzy marker. Bare ``~`` defaults to distance 2
-    (Lucene's fuzzy default). Quoted-phrase slop (``"..."~N``) never
-    reaches here — phrases are extracted before word parsing."""
+    (Lucene's fuzzy default); an out-of-range distance (``word~3``)
+    raises rather than silently parsing '~3' as literal tokens. A
+    standalone ``~N`` token (min-should-match) has no stem and is never
+    treated as fuzzy; quoted-phrase slop (``"..."~N``) never reaches
+    here — phrases are extracted before word parsing."""
     import re
 
-    m = re.search(r"~([12])?$", w)
+    m = re.search(r"~(\d+)?$", w)
     if m is None or m.start() == 0:
         return None
-    return w[: m.start()], int(m.group(1) or 2)
+    d = int(m.group(1) or 2)
+    if d not in (1, 2):
+        raise ValueError(
+            f"fuzzy distance in {w!r} must be 1 or 2 (got {d})"
+        )
+    return w[: m.start()], d
 
 
 def _split_boost(w: str) -> tuple[str, float | None]:

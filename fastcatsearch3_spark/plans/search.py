@@ -225,6 +225,11 @@ def _expand_prefixes(
             lex = store.lexicon(spark)
             if pref:
                 lex = lex.where(F.col("term").startswith(pref))
+            else:
+                # unqualified stems must never expand into another field's
+                # namespace: analyzer tokens cannot contain ':', so any
+                # ':'-bearing lexicon key is a field-qualified term
+                lex = lex.where(~F.col("term").contains(":"))
             payload = F.expr(f"substring(term, {len(pref) + 1})")
             ln = len(base)
             rows = (

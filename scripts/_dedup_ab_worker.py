@@ -82,9 +82,21 @@ def main() -> None:
             sec, nrows = run(old_mod if variant == "old" else new_mod)
             out[variant].append(round(sec, 3))
             rows_seen.add((variant, nrows))
-    # sanity: both variants must return the same row count
-    counts = {v for (_, v) in rows_seen}
-    out["rows"] = sorted(counts)
+    # sanity: the variants should return the same row count — when they
+    # don't (e.g. an algorithmic change like the bucket cap alters the
+    # candidate set), say so LOUDLY so the timing comparison is read as
+    # non-equivalent work, and report counts per variant
+    counts = {
+        v: sorted({n for (vv, n) in rows_seen if vv == v})
+        for v in ("old", "new")
+    }
+    out["rows"] = counts
+    if counts["old"] != counts["new"]:
+        print(
+            f"WARNING: variants returned different row counts {counts} — "
+            "timings compare non-equivalent work",
+            file=sys.stderr,
+        )
     print(json.dumps(out))
 
 

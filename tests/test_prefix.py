@@ -179,3 +179,43 @@ def test_fuzzy_expansion_end_to_end(spark, tmp_path):
     # an AND-required fuzzy term with NO candidates matches nothing
     got3 = search_index(spark, store, "zzzzzzz~1 merge", k=10).toPandas()
     assert len(got3) == 0
+
+
+def test_fuzzy_distance_out_of_range_raises():
+    with pytest.raises(ValueError, match="must be 1 or 2"):
+        parse_query("spark~3 merge", CFG)
+    # standalone ~N stays min-should-match, never fuzzy
+    pq = parse_query("spark join vector ~3", CFG)
+    assert pq.msm == 3 and "~" not in "".join(pq.terms)
+
+
+def test_fuzzy_unqualified_never_expands_into_field_namespace(spark, tmp_path):
+    """An unqualified fuzzy stem must not pull field-qualified lexicon
+    keys into its expansion group (lev('repo:x','repos') == 2 would
+    otherwise leak the repo posting into a content query)."""
+    import pandas as pd
+
+    from fastcatsearch3_spark.config import EngineConfig
+    from fastcatsearch3_spark.index import IndexStore
+    from fastcatsearch3_spark.operators.build import build_index
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+    from fastcatsearch3_spark.plans.search import search_index
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["repos merge", "table merge"],
+            "lang": "en",
+            "source": "x",  # doc 2's repo field would be within lev 2
+            "n_chars": [11, 11],
+        }
+    )
+    cfg = EngineConfig(num_shards=1, indexed_fields=("content", "repo"))
+    corpus = normalize_corpus(spark.createDataFrame(pdf))
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, cfg)
+    got = search_index(
+        spark, IndexStore(root), "repos~2 merge", k=10
+    ).toPandas()
+    # only doc 1 matches: doc 2 can only be reached via a repo-field key
+    assert got["doc_id"].tolist() == [1]

@@ -257,7 +257,8 @@ def test_search_many_full_surface(spark):
         "prox": '"spark join"~2',
         "tree": "(spark AND join) OR (vector AND NOT stream)",
         "prefix": "spar* AND join",
-        "msm": "spark join vector stream msm=2",
+        "msm": "spark join vector stream ~2",
+        "fuzzy": "sparl~1 join",
     }
     got = search_many(spark, store, qs, k=10).toPandas()
     for qid, q in qs.items():
