@@ -776,9 +776,9 @@ def _q_bm25_proximity(spark, sf_dir):
 
 _Q_NESTED = "((spark merge) OR (vector stream)) -slow"
 
-# DuckDB doc filter for the exact phrase "table hash" (consecutive
-# positions) — shared by the bm25_phrase oracle and the batch oracle
-_PH_TABLE_HASH = """doc_id IN (
+# DuckDB doc set for the exact phrase "table hash" (consecutive
+# positions) — shared by the bm25_phrase / bm25_phrase_or / batch oracles
+_PH_TABLE_HASH_SET = """
   WITH pt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') arr
               FROM documents),
   ptok AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)+1),
@@ -787,7 +787,38 @@ _PH_TABLE_HASH = """doc_id IN (
            FROM pt)
   SELECT DISTINCT a.doc_id
   FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-  WHERE a.term = 'table' AND b.term = 'hash')"""
+  WHERE a.term = 'table' AND b.term = 'hash'"""
+
+_PH_TABLE_HASH = f"doc_id IN ({_PH_TABLE_HASH_SET})"
+
+# '"table hash" OR vector' — phrase members presence-gated on the phrase
+# doc set, the free term scores alone; a doc matches when either clause does
+_PHRASE_OR_SQL = f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('table', 'hash', 'vector')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+ph AS ({_PH_TABLE_HASH_SET}),
+scored AS (
+  SELECT q.doc_id, q.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (
+  SELECT s.doc_id,
+         sum(CASE WHEN s.term IN ('table', 'hash')
+                  THEN CASE WHEN s.doc_id IN (SELECT doc_id FROM ph)
+                            THEN s.partial ELSE 0.0 END
+                  ELSE s.partial END) AS score,
+         max(CASE WHEN s.term = 'vector' THEN 1 ELSE 0 END) AS free_hit
+  FROM scored s GROUP BY s.doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM agg
+WHERE free_hit = 1 OR doc_id IN (SELECT doc_id FROM ph)
+ORDER BY score DESC, doc_id ASC LIMIT {_K}
+"""
 
 
 def _q_bm25_nested(spark, sf_dir):
@@ -973,6 +1004,17 @@ def _q_bm25_phrase(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25_phrase_or(spark, sf_dir):
+    # J-5 under OR semantics (clause algebra: '"a b" OR c'): the phrase is
+    # ONE optional SHOULD clause — its member terms score only in docs
+    # where the phrase matches (presence-gated), while 'vector' matches on
+    # its own; a doc matches when >= 1 clause matches
+    cfg_pos = EngineConfig(store_positions=True)
+    store = _packed_store(spark, sf_dir, cfg=cfg_pos)
+    hits = search_index(spark, store, '"table hash" OR vector', k=_K)
+    return hits.select("doc_id", _e4())
+
+
 def _q_bm25_field(spark, sf_dir):
     # field-qualified search (multi-index collections): the repo field is
     # indexed alongside content ("repo:term" keys, its own avgdl); the
@@ -1080,6 +1122,7 @@ def _q_search_batch(spark, sf_dir):
                 terms=["table"], not_terms=["hash"], op="AND"
             ),
             "q_phrase": '"table hash"',
+            "q_phrase_or": '"table hash" OR vector',
             "q_tree": _Q_NESTED,
         },
         k=_K,
@@ -1487,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- full query surface (driver-unchecked in r2 -> now in-window) --
         "bm25_phrase": _q_bm25_phrase,
         "bm25_proximity": _q_bm25_proximity,
+        "bm25_phrase_or": _q_bm25_phrase_or,
         "bm25_boost": _q_bm25_boost,
         "bm25_filtered": _q_bm25_filtered,
         "bm25_nested": _q_bm25_nested,
@@ -2417,6 +2461,10 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
     AND b.p - a.p BETWEEN 0 AND 2
   WHERE a.term = 'table' AND b.term = 'hash')""",
         ),
+        # phrase under OR: the phrase is one optional SHOULD clause —
+        # member-term partials are gated on the phrase doc set, 'vector'
+        # scores on presence; gate = (free hit) OR (phrase hit)
+        "bm25_phrase_or": _PHRASE_OR_SQL,
         "bm25_nested": _nested_sql(_Q_NESTED, _K),
         # per-field BM25: content term scored with content avgdl, repo-
         # qualified term with the repo field's avgdl (= Σ repo tokens /
@@ -2630,6 +2678,8 @@ UNION ALL
 SELECT 'q_phrase' AS query_id, doc_id, score_e4 FROM ({_bm25_sql(
     ["table", "hash"], "AND", _K, order_raw=True,
     extra_where=_PH_TABLE_HASH)})
+UNION ALL
+SELECT 'q_phrase_or' AS query_id, doc_id, score_e4 FROM ({_PHRASE_OR_SQL})
 UNION ALL
 SELECT 'q_tree' AS query_id, doc_id, score_e4 FROM ({_nested_sql(
     _Q_NESTED, _K)})

@@ -133,6 +133,16 @@ class ParsedQuery:
     # covers every token it analyzes to and its synonym expansions; a term
     # reached via several boosted words keeps the MAX boost.
     boosts: dict[str, float] = field(default_factory=dict)
+    # terms that occur ONLY inside phrase spans (no independent free-word
+    # occurrence in the query). Under AND this is informational (phrase
+    # terms are required either way); under OR these terms are
+    # presence-gated on their phrase matching — they contribute score (and
+    # a clause match) only in docs where the phrase occurs, i.e.
+    # '"a b" OR c' treats the phrase as one optional SHOULD clause (Lucene
+    # BooleanQuery + PhraseQuery semantics). parse_query fills this; a
+    # directly constructed ParsedQuery may leave it empty, which treats
+    # every phrase member as also being a free term.
+    phrase_only_terms: list[str] = field(default_factory=list)
 
     def __post_init__(self):
         if self.op not in ("AND", "OR"):
@@ -529,7 +539,13 @@ def parse_query(
     boosts: dict[str, float] = {}
     gid = 0
     has_prefix = False
-    for w in pos_words:
+    # terms produced by a word OUTSIDE any phrase span (synonym expansions
+    # included) — everything else in a phrase is phrase-only (see
+    # ParsedQuery.phrase_only_terms)
+    free_src: set[str] = set()
+    n_phrase_words = len(phrase_words)
+    for wi, w in enumerate(pos_words):
+        terms_before = len(terms)
         w, boost = _split_boost(w)
 
         def note(term: str) -> str:
@@ -551,6 +567,8 @@ def parse_query(
             groups.append(gid)
             gid += 1
             has_prefix = True
+            if wi >= n_phrase_words:
+                free_src.update(terms[terms_before:])
             continue
         fz = _fuzzy_suffix(w)
         if fz is not None:
@@ -570,6 +588,8 @@ def parse_query(
             groups.append(gid)
             gid += 1
             has_prefix = True
+            if wi >= n_phrase_words:
+                free_src.update(terms[terms_before:])
             continue
         pref, toks = analyze_word(w)
         for t in toks:
@@ -581,6 +601,8 @@ def parse_query(
                         terms.append(note(st))
                         groups.append(gid)
             gid += 1
+        if wi >= n_phrase_words:
+            free_src.update(terms[terms_before:])
     nterms: list[str] = []
     for w in neg_words:
         w, _ = _split_boost(w)  # a boost on a NOT clause is meaningless
@@ -609,6 +631,7 @@ def parse_query(
             dedup_groups.append((g,))
     nseen: set[str] = set()
     nterms = [t for t in nterms if not (t in nseen or nseen.add(t))]
+    phrase_members = {t for ph in phrases for t in ph}
     return ParsedQuery(
         terms=dedup_terms,
         not_terms=nterms,
@@ -619,4 +642,9 @@ def parse_query(
         phrases=phrases,
         phrase_slops=phrase_slops,
         boosts=boosts,
+        phrase_only_terms=[
+            t
+            for t in dedup_terms
+            if t in phrase_members and t not in free_src
+        ],
     )

@@ -303,10 +303,11 @@ def score_group(
     groups: list[tuple[int, ...]] | None = None,
     n_groups: int | None = None,
     msm: int | None = None,
-    phrase_tps: list[list[TermPostings]] | None = None,
+    phrase_tps: "list[list[TermPostings] | None] | None" = None,
     phrase_slops: list[int] | None = None,
     tree=None,  # plans.query.Node — nested boolean; overrides op/groups/msm
     tree_pos_terms: set[str] | None = None,
+    phrase_only_terms: set[str] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (segment, shard) group. Returns (docnos, scores) of the
     local top-k, score-desc / docno-asc ordered.
@@ -328,7 +329,27 @@ def score_group(
     not_terms = not_terms or []
     if not terms:
         return np.zeros(0, dtype=np.uint64), np.zeros(0)
-    if tree is not None:
+    or_phrases = bool(phrase_tps) and op == "OR" and tree is None
+    if or_phrases:
+        # flat OR with phrase clauses: each phrase is one optional SHOULD
+        # clause (see _score_or_phrases); the phrase gate is applied
+        # per-clause inside, NOT as the global post-filter below
+        if groups is not None:
+            raise ValueError(
+                "phrase queries under OR semantics cannot be combined with "
+                "synonym/prefix groups"
+            )
+        docnos, scores = _score_or_phrases(
+            terms,
+            phrase_tps,
+            phrase_slops,
+            phrase_only_terms or set(),
+            k1,
+            b,
+            avgdl,
+            msm=msm,
+        )
+    elif tree is not None:
         # nested boolean: ``terms`` carries every fetched TermPostings
         # (both contexts — NOT leaves are evaluated inside the tree);
         # allow/deny masks and phrases still apply below
@@ -356,8 +377,8 @@ def score_group(
     else:
         docnos, scores = _score_taat(terms, op, k1, b, avgdl)
     # phrase adjacency/proximity filter (J-5) — before top-k, like every
-    # filter
-    if phrase_tps:
+    # filter (under OR the gate already happened per-clause above)
+    if phrase_tps and not or_phrases:
         slops = phrase_slops or [0] * len(phrase_tps)
         keep = np.ones(docnos.size, dtype=bool)
         for ptps, sl in zip(phrase_tps, slops):
@@ -383,6 +404,72 @@ def score_group(
             keep &= ~m
         docnos, scores = docnos[keep], scores[keep]
     return _topk(scores, docnos, k)
+
+
+def _score_or_phrases(
+    terms: list[TermPostings],
+    phrase_tps: "list[list[TermPostings] | None]",
+    phrase_slops: list[int] | None,
+    phrase_only: set[str],
+    k1: float,
+    b: float,
+    avgdl: float,
+    msm: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flat OR with phrase clauses ('"a b" OR c' — Lucene BooleanQuery of
+    SHOULD clauses where one clause is a PhraseQuery):
+
+      * each phrase is ONE optional clause — it matches where its terms
+        occur in the required positional window (phrase_mask);
+      * each free (non-phrase-member) term is one optional clause matched
+        by presence;
+      * a doc matches when >= ``msm`` (default 1) clauses match;
+      * terms occurring ONLY inside a phrase (``phrase_only``) contribute
+        score exactly where one of their phrases matches (presence-gated),
+        consistent with the engine's phrase scoring under AND (BM25 over
+        the member terms, adjacency as the gate);
+      * a ``None`` entry in ``phrase_tps`` is a phrase unmatchable in this
+        shard (a member term has no postings here) — its clause simply
+        never matches; other clauses live on, unlike AND semantics.
+
+    Exhaustive evaluation (no MaxScore pruning): the phrase gate depends
+    on positions, so per-term upper bounds can't bound clause scores."""
+    slops = phrase_slops or [0] * len(phrase_tps)
+    decoded: dict[str, tuple[TermPostings, np.ndarray, np.ndarray, np.ndarray]] = {}
+    # sorted-term insertion order → deterministic float summation
+    for tp in sorted(terms, key=lambda t: t.term):
+        d, t, l = decode_postings(tp.blob, tp.meta)
+        decoded[tp.term] = (tp, d.astype(np.int64), t, l)
+    all_d = np.unique(
+        np.concatenate([e[1] for e in decoded.values()])
+    )
+    cand = all_d.astype(np.uint64)
+    pmasks: list[np.ndarray] = []
+    for ptps, sl in zip(phrase_tps, slops):
+        if ptps is None:
+            pmasks.append(np.zeros(cand.size, dtype=bool))
+        else:
+            pmasks.append(phrase_mask(cand, ptps, slop=sl))
+    acc = np.zeros(cand.size, dtype=np.float64)
+    matched = np.zeros(cand.size, dtype=np.int64)
+    for term, (tp, d, t, l) in decoded.items():
+        pos = np.searchsorted(all_d, d)  # d ⊆ all_d → exact positions
+        contrib = tp.idf * bm25_tf_norm(t, l, k1, b, tp.adl(avgdl))
+        if term in phrase_only:
+            gate = np.zeros(cand.size, dtype=bool)
+            for m, ptps in zip(pmasks, phrase_tps):
+                if ptps is not None and any(p.term == term for p in ptps):
+                    gate |= m
+            g = gate[pos]
+            acc[pos[g]] += contrib[g]
+        else:
+            acc[pos] += contrib
+            matched[pos] += 1
+    for m in pmasks:
+        matched += m
+    need = msm if msm is not None else 1
+    keep = matched >= need
+    return cand[keep], acc[keep]
 
 
 def _score_taat(

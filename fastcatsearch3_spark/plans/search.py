@@ -66,6 +66,7 @@ def _make_kernel(
     term_avgdl: dict[str, float] | None = None,
     tree=None,  # plans.query.Node — nested boolean clause tree
     tree_pos_terms: set[str] | None = None,
+    phrase_only_terms: set[str] | None = None,
 ):
     """Build the per-(segment, shard) scoring function (U-5).
     ``term_avgdl``: per-term avgdl overrides for field-qualified terms
@@ -112,8 +113,14 @@ def _make_kernel(
             phrase_tps = []
             for ph in phrases:
                 if any(t not in by_term for t in ph):
-                    return _EMPTY  # a phrase term absent here → no match
-                phrase_tps.append([by_term[t] for t in ph])
+                    if op == "AND" or tree is not None:
+                        # required phrase, a term absent here → no match
+                        return _EMPTY
+                    # OR: this phrase clause can't match in this shard;
+                    # the other SHOULD clauses still can
+                    phrase_tps.append(None)
+                else:
+                    phrase_tps.append([by_term[t] for t in ph])
         if op == "AND" and tree is None:
             # required coverage in this shard: every term (or, with synonym
             # groups, every group) must have at least one posting list here
@@ -159,6 +166,7 @@ def _make_kernel(
             phrase_slops=phrase_slops,
             tree=tree,
             tree_pos_terms=tree_pos_terms,
+            phrase_only_terms=phrase_only_terms,
         )
         return pd.DataFrame(
             {
@@ -346,6 +354,7 @@ def _expand_prefixes(
         phrases=pq.phrases,
         phrase_slops=pq.phrase_slops,
         boosts=boosts,
+        phrase_only_terms=pq.phrase_only_terms,
     )
 
 
@@ -762,11 +771,34 @@ def search_index(
     ]
     phrases = [ph for ph, _ in kept]
     phrase_slops = [sl for _, sl in kept]
+    phrase_only = set(pq.phrase_only_terms) & set(terms)
     if pq.phrases and len(phrases) < len(pq.phrases):
-        # a phrase containing an unindexed term can never match
-        return spark.createDataFrame([], "doc_id long, score double")
-    if phrases and pq.op != "AND":
-        raise ValueError("phrase queries are supported under AND semantics")
+        if pq.op == "AND" or pq.tree is not None:
+            # a required phrase containing an unindexed term never matches
+            return spark.createDataFrame([], "doc_id long, score double")
+        # OR: the dead phrase clause just never matches — but its
+        # phrase-only member terms must not score as free terms either
+        viable_members = {t for ph in phrases for t in ph}
+        dead = {t for t in phrase_only if t not in viable_members}
+        if dead:
+            terms = [t for t in terms if t not in dead]
+            for t in dead:
+                qidf.pop(t, None)
+            phrase_only -= dead
+        if not terms and not phrases:
+            return spark.createDataFrame([], "doc_id long, score double")
+    if (
+        pq.op == "OR"
+        and pq.tree is None
+        and pq.msm is not None
+        and phrases
+    ):
+        # msm counts CLAUSES here: free terms present + viable phrases
+        n_clauses = len([t for t in terms if t not in phrase_only]) + len(
+            phrases
+        )
+        if n_clauses < pq.msm:
+            return spark.createDataFrame([], "doc_id long, score double")
     postings_df = store.postings(spark)
     if phrases and "positions" not in postings_df.columns:
         raise ValueError(
@@ -830,6 +862,7 @@ def search_index(
         term_avgdl=term_avgdl or None,
         tree=pq.tree,
         tree_pos_terms=set(terms) if pq.tree is not None else None,
+        phrase_only_terms=phrase_only or None,
     )
     if masks:
         mask_df = masks[0]
@@ -1073,11 +1106,6 @@ def search_many(
         pq = _expand_prefixes(spark, store, pq, cfg)
         if pq is None:  # an AND'd prefix matched nothing in the lexicon
             continue
-        if pq.phrases and pq.op != "AND" and pq.tree is None:
-            raise ValueError(
-                f"query {qid!r}: phrase queries are supported under AND "
-                "semantics"
-            )
         parsed[qid] = pq
 
     all_terms = sorted(
@@ -1126,8 +1154,21 @@ def search_many(
             for ph, sl in zip(pq.phrases, pq.phrase_slops)
             if all(t in dfmap for t in ph)
         ]
+        phrase_only = set(pq.phrase_only_terms) & set(terms)
         if pq.phrases and len(kept) < len(pq.phrases):
-            continue  # a phrase containing an unindexed term never matches
+            if pq.op == "AND" or pq.tree is not None:
+                continue  # a required phrase with an unindexed term never matches
+            # OR: the dead phrase clause never matches; its phrase-only
+            # members must not score as free terms (same as search_index)
+            viable_members = {t for ph, _ in kept for t in ph}
+            dead = {t for t in phrase_only if t not in viable_members}
+            if dead:
+                terms = [t for t in terms if t not in dead]
+                for t in dead:
+                    qidf.pop(t, None)
+                phrase_only -= dead
+            if not terms and not kept:
+                continue
         phrases = [ph for ph, _ in kept] or None
         slops = [sl for _, sl in kept] or None
         if phrases:
@@ -1139,6 +1180,7 @@ def search_many(
                 pq.n_groups if tg is not None else None, pq.msm,
                 phrases, slops, pq.tree,
                 set(terms) if pq.tree is not None else None,
+                phrase_only or None,
             )
         )
         fetch.update(qidf)
@@ -1240,7 +1282,7 @@ def search_many(
 
         outs = []
         for (qid, qidf, nset, op, n_req, tg, n_groups, msm,
-             phrases, slops, tree, tree_pos_terms) in specs:
+             phrases, slops, tree, tree_pos_terms, phrase_only) in specs:
             pos_tps, neg_tps, pos_groups = [], [], []
             by_term: dict[str, TermPostings] = {}
             for t, idf in qidf.items():
@@ -1259,9 +1301,12 @@ def search_many(
                 missing = False
                 for ph in phrases:
                     if any(t not in by_term for t in ph):
-                        missing = True  # phrase term absent in this shard
-                        break
-                    phrase_tps.append([by_term[t] for t in ph])
+                        if op == "AND" or tree is not None:
+                            missing = True  # required phrase absent here
+                            break
+                        phrase_tps.append(None)  # OR: dead clause only
+                    else:
+                        phrase_tps.append([by_term[t] for t in ph])
                 if missing:
                     continue
             if op == "AND" and tree is None:
@@ -1296,6 +1341,7 @@ def search_many(
                 n_groups=n_groups, msm=msm,
                 phrase_tps=phrase_tps, phrase_slops=slops,
                 tree=tree, tree_pos_terms=tree_pos_terms,
+                phrase_only_terms=phrase_only,
             )
             if docnos.size:
                 outs.append(

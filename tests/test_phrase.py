@@ -242,3 +242,146 @@ def test_proximity_matches_bruteforce(spark, store, docs_pd, qtext, phrase, slop
         ).toPandas()["doc_id"]
     )
     assert got == (want_prox & and_docs)
+
+
+# ---------------------------------------------------------------------------
+# phrase under OR semantics ('"a b" OR c': the phrase is ONE optional
+# SHOULD clause — presence-gated scoring of its member terms)
+# ---------------------------------------------------------------------------
+
+def test_parse_phrase_or_marks_phrase_only_terms():
+    cfg = EngineConfig()
+    pq = parse_query('"table hash" OR vector', cfg)
+    assert pq.op == "OR"
+    assert pq.phrases == [["table", "hash"]]
+    assert pq.terms == ["table", "hash", "vector"]
+    assert pq.phrase_only_terms == ["table", "hash"]
+    # a phrase member that ALSO appears as a free word is not phrase-only
+    pq2 = parse_query('"table hash" OR table', cfg)
+    assert pq2.phrase_only_terms == ["hash"]
+    # under AND nothing changes semantically, but the field is still filled
+    pq3 = parse_query('"table hash" vector', cfg)
+    assert pq3.op == "AND"
+    assert pq3.phrase_only_terms == ["table", "hash"]
+
+
+def _or_phrase_store(spark, tmp_path):
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+
+    rows = [
+        (1, "alpha charlie end"),        # phrase matches
+        (2, "charlie alpha delta end"),  # members NOT adjacent + free term
+        (3, "delta end"),                # free term only
+        (4, "omega end"),                # no clause at all
+        (5, "alpha end"),                # lone phrase member → no match
+        (6, "alpha charlie delta end"),  # phrase AND free term
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "s",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    cfg = EngineConfig(num_shards=2, store_positions=True)
+    root = str(tmp_path / "orph_idx")
+    B.build_index(spark, normalize_corpus(spark.createDataFrame(pdf)), root, cfg)
+    return IndexStore(root), cfg, pdf
+
+
+def test_phrase_or_pinned_ranking(spark, tmp_path):
+    from tests.oracle import bm25_topk_oracle
+
+    store, cfg, pdf = _or_phrase_store(spark, tmp_path)
+    docs = pdf.rename(columns={"text": "content"})[["doc_id", "content"]]
+
+    pq = parse_query('"alpha charlie" OR delta', cfg)
+    got = (
+        search_index(spark, store, pq, k=10)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert set(got["doc_id"]) == {1, 2, 3, 6}
+
+    # expected score = (phrase matched ? bm25(alpha)+bm25(charlie) : 0)
+    #                + (delta present ? bm25(delta) : 0), per doc
+    per_term = {
+        t: dict(
+            bm25_topk_oracle(docs, [t], k=100, op="OR", cfg=cfg)
+            .itertuples(index=False, name=None)
+        )
+        for t in ("alpha", "charlie", "delta")
+    }
+    expect = {
+        1: per_term["alpha"][1] + per_term["charlie"][1],
+        2: per_term["delta"][2],
+        3: per_term["delta"][3],
+        6: per_term["alpha"][6] + per_term["charlie"][6] + per_term["delta"][6],
+    }
+    got_map = dict(zip(got["doc_id"], got["score"]))
+    for did, s in expect.items():
+        np.testing.assert_allclose(got_map[did], s, atol=1e-9)
+
+
+def test_phrase_or_proximity_clause(spark, tmp_path):
+    """'"alpha charlie"~2 OR delta': slop widens the phrase clause only."""
+    store, cfg, _ = _or_phrase_store(spark, tmp_path)
+    got = {
+        r["doc_id"]
+        for r in search_index(
+            spark, store, parse_query('"alpha charlie"~2 OR delta', cfg), k=10
+        ).collect()
+    }
+    # slop 2 admits doc 2's reversed "charlie alpha" (d=-1 ∈ [-1, 3]) —
+    # doc 2 now matches BOTH clauses; doc 5 still matches neither
+    assert got == {1, 2, 3, 6}
+
+
+def test_phrase_or_corpus_vs_bruteforce(spark, store, docs_pd):
+    """'"table value" OR agg' on the sf0.001 corpus: match set and scores
+    vs an independent pandas composition of per-clause oracles."""
+    from tests.oracle import bm25_topk_oracle
+
+    pq = parse_query('"table value" OR agg', CFG)
+    assert pq.phrase_only_terms == ["table", "value"]
+    got = search_index(spark, store, pq, k=10_000).toPandas()
+
+    phrase_docs = _phrase_docs(docs_pd, ["table", "value"])
+    docs = docs_pd[["doc_id", "content"]]
+    per_term = {
+        t: dict(
+            bm25_topk_oracle(docs, [t], k=10_000_000, op="OR", cfg=CFG)
+            .itertuples(index=False, name=None)
+        )
+        for t in ("table", "value", "agg")
+    }
+    expect: dict[int, float] = {}
+    for did in set(per_term["agg"]) | phrase_docs:
+        s = 0.0
+        if did in phrase_docs:
+            s += per_term["table"][did] + per_term["value"][did]
+        s += per_term["agg"].get(did, 0.0)
+        expect[did] = s
+    assert set(got["doc_id"]) == set(expect)
+    got_map = dict(zip(got["doc_id"], got["score"]))
+    for did, s in expect.items():
+        np.testing.assert_allclose(got_map[did], s, atol=1e-9)
+
+
+def test_phrase_or_batch_matches_single(spark, store):
+    """The batch kernel scores '"a b" OR c' identically to search_index."""
+    from fastcatsearch3_spark.plans.search import search_many
+
+    q = '"table value" OR agg'
+    single = search_index(spark, store, parse_query(q, CFG), k=10).toPandas()
+    batch = search_many(
+        spark, store, {"p_or": q, "q_and": "table value"}, k=10
+    ).toPandas()
+    b = batch[batch["query_id"] == "p_or"].reset_index(drop=True)
+    assert b["doc_id"].tolist() == single["doc_id"].tolist()
+    np.testing.assert_allclose(
+        b["score"].to_numpy(), single["score"].to_numpy(), atol=1e-9
+    )
