@@ -1107,11 +1107,21 @@ def _q_index_stats(spark, sf_dir):
 
 
 def _q_search_batch(spark, sf_dir):
-    # batch query execution (throughput mode): five queries — flat AND/OR/
-    # NOT plus a phrase and a nested clause tree — share one postings scan
-    # (positions fetched only for the phrase's terms) and one kernel pass;
-    # per-query top-k via one window
-    store = _packed_store(spark, sf_dir, cfg=EngineConfig(store_positions=True))
+    # batch query execution (throughput mode): seven queries — flat AND/
+    # OR/NOT, a phrase, a phrase-under-OR, a nested clause tree, and a
+    # true-BM25F multifield query — share one postings scan (positions
+    # fetched only for the phrases' terms) and one kernel pass; per-query
+    # top-k via one window. The store indexes (content, repo) WITH
+    # positions so every batchable query shape runs against one index.
+    from fastcatsearch3_spark.plans.search import Bm25fQuery
+
+    store = _packed_store(
+        spark,
+        sf_dir,
+        cfg=EngineConfig(
+            indexed_fields=("content", "repo"), store_positions=True
+        ),
+    )
     out = search_many(
         spark,
         store,
@@ -1124,6 +1134,9 @@ def _q_search_batch(spark, sf_dir):
             "q_phrase": '"table hash"',
             "q_phrase_or": '"table hash" OR vector',
             "q_tree": _Q_NESTED,
+            "q_bm25f": Bm25fQuery(
+                "spark src1", {"content": 1.0, "repo": 2.0}
+            ),
         },
         k=_K,
     )
@@ -2088,6 +2101,45 @@ SELECT doc_id, CASE WHEN {best} <= 0 THEN 'und' ELSE {case} END pred_lang
 FROM h
 """
 
+# true-BM25F oracle (shared by bm25f_topk and the batch q_bm25f arm)
+_BM25F_SQL = f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+ndocs AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
+rtok AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(source), '[a-z0-9]+')) AS term
+         FROM documents),
+rtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM rtok
+        GROUP BY doc_id, term),
+rdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) dl FROM rtok GROUP BY doc_id),
+cav AS (SELECT sum(dl) * 1.0 / (SELECT n FROM ndocs) avgdl FROM dl),
+rav AS (SELECT sum(dl) * 1.0 / (SELECT n FROM ndocs) avgdl FROM rdl),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         1.0 * t.tf / (1.0 - {CFG.b} + {CFG.b} * l.dl / (SELECT avgdl FROM cav))
+           AS ntf
+  FROM tf t JOIN dl l USING (doc_id) WHERE t.term IN ('spark', 'src1')
+  UNION ALL
+  SELECT t.doc_id, t.term,
+         2.0 * t.tf / (1.0 - {CFG.b} + {CFG.b} * l.dl / (SELECT avgdl FROM rav))
+           AS ntf
+  FROM rtf t JOIN rdl l USING (doc_id) WHERE t.term IN ('spark', 'src1')
+),
+merged AS (SELECT doc_id, term, sum(ntf) AS tft FROM contrib
+           GROUP BY doc_id, term),
+dfu AS (SELECT term, CAST(count(*) AS BIGINT) df FROM merged GROUP BY term),
+scored AS (
+  SELECT m.doc_id,
+         ln(1.0 + ((SELECT n FROM ndocs) - d.df + 0.5) / (d.df + 0.5))
+           * m.tft * ({CFG.k1} + 1.0) / ({CFG.k1} + m.tft) AS partial
+  FROM merged m JOIN dfu d USING (term)),
+agg AS (SELECT doc_id, sum(partial) score, count(*) nw FROM scored
+        GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4 FROM agg
+WHERE nw = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tf_table": _TF,
@@ -2542,42 +2594,7 @@ WHERE ng = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
 """,
         # TRUE BM25F: per-term field tfs length-normalized, weighted and
         # merged BEFORE the single saturation; idf over doc-level union df
-        "bm25f_topk": f"""
-WITH tf AS ({_TF}),
-dl AS ({_DL}),
-ndocs AS (SELECT CAST(count(*) AS BIGINT) n FROM documents),
-rtok AS (SELECT doc_id,
-           unnest(regexp_extract_all(lower(source), '[a-z0-9]+')) AS term
-         FROM documents),
-rtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) tf FROM rtok
-        GROUP BY doc_id, term),
-rdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) dl FROM rtok GROUP BY doc_id),
-cav AS (SELECT sum(dl) * 1.0 / (SELECT n FROM ndocs) avgdl FROM dl),
-rav AS (SELECT sum(dl) * 1.0 / (SELECT n FROM ndocs) avgdl FROM rdl),
-contrib AS (
-  SELECT t.doc_id, t.term,
-         1.0 * t.tf / (1.0 - {CFG.b} + {CFG.b} * l.dl / (SELECT avgdl FROM cav))
-           AS ntf
-  FROM tf t JOIN dl l USING (doc_id) WHERE t.term IN ('spark', 'src1')
-  UNION ALL
-  SELECT t.doc_id, t.term,
-         2.0 * t.tf / (1.0 - {CFG.b} + {CFG.b} * l.dl / (SELECT avgdl FROM rav))
-           AS ntf
-  FROM rtf t JOIN rdl l USING (doc_id) WHERE t.term IN ('spark', 'src1')
-),
-merged AS (SELECT doc_id, term, sum(ntf) AS tft FROM contrib
-           GROUP BY doc_id, term),
-dfu AS (SELECT term, CAST(count(*) AS BIGINT) df FROM merged GROUP BY term),
-scored AS (
-  SELECT m.doc_id,
-         ln(1.0 + ((SELECT n FROM ndocs) - d.df + 0.5) / (d.df + 0.5))
-           * m.tft * ({CFG.k1} + 1.0) / ({CFG.k1} + m.tft) AS partial
-  FROM merged m JOIN dfu d USING (term)),
-agg AS (SELECT doc_id, sum(partial) score, count(*) nw FROM scored
-        GROUP BY doc_id)
-SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4 FROM agg
-WHERE nw = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
-""",
+        "bm25f_topk": _BM25F_SQL,
         # hybrid retrieval: lexical top-100 + dense cosine re-rank (same
         # cosine expression as ann_cosine_topk), across all three score-
         # normalization policies: raw blend, min-max, z-score (population
@@ -2683,6 +2700,8 @@ SELECT 'q_phrase_or' AS query_id, doc_id, score_e4 FROM ({_PHRASE_OR_SQL})
 UNION ALL
 SELECT 'q_tree' AS query_id, doc_id, score_e4 FROM ({_nested_sql(
     _Q_NESTED, _K)})
+UNION ALL
+SELECT 'q_bm25f' AS query_id, doc_id, score_e4 FROM ({_BM25F_SQL})
 """,
         # federated multi-collection merge: each lang slice is its own
         # corpus with its own stats; raw scores merge before rounding so

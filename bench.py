@@ -157,6 +157,47 @@ def main() -> None:
             timings["q_batch7_singles"] / timings["q_batch7"], 2
         )
 
+        # --- batch with BM25F (r4): same 7 lexical shapes + a true-BM25F
+        # multifield query, all through ONE kernel pass on a
+        # (content, repo)+positions store (built untimed — the timed
+        # builds above stay comparable across rounds). Singles use
+        # search_bm25f for the BM25F member.
+        from fastcatsearch3_spark.plans.search import Bm25fQuery, search_bm25f
+
+        root_mf = tempfile.mkdtemp(prefix="fcs3_bench_mf_")
+        try:
+            build_index(
+                spark, corpus, root_mf,
+                EngineConfig(
+                    indexed_fields=("content", "repo"), store_positions=True
+                ),
+                resume=False,
+            )
+            store_mf = IndexStore(root_mf)
+            fq = Bm25fQuery("spark src1", {"content": 1.0, "repo": 2.0})
+            search_bm25f(  # warm the dfu cache like any single would
+                spark, store_mf, "spark src1",
+                {"content": 1.0, "repo": 2.0}, k=10,
+            ).collect()
+            t0 = time.monotonic()
+            search_many(
+                spark, store_mf, {**batch_qs, "b8": fq}, k=10
+            ).collect()
+            timings["q_batch8_bm25f"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            for pq in batch_qs.values():
+                search_index(spark, store_mf, pq, k=10).collect()
+            search_bm25f(
+                spark, store_mf, "spark src1",
+                {"content": 1.0, "repo": 2.0}, k=10,
+            ).collect()
+            timings["q_batch8_singles"] = round(time.monotonic() - t0, 3)
+            timings["q_batch8_amortization"] = round(
+                timings["q_batch8_singles"] / timings["q_batch8_bm25f"], 2
+            )
+        finally:
+            shutil.rmtree(root_mf, ignore_errors=True)
+
         # --- hybrid retrieval (BM25 + dense re-rank) --------------------
         from fastcatsearch3_spark.plans.search import hybrid_search
 

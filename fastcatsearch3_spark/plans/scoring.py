@@ -598,6 +598,7 @@ def score_bm25f(
     b: float,
     avgdl: float,
     deny_docnos: np.ndarray | None = None,
+    allow_docnos: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """True BM25F for one (segment, shard) group (Robertson & Zaragoza's
     'Simple BM25 extension to multiple weighted fields', CIKM'04): per
@@ -644,6 +645,13 @@ def score_bm25f(
         acc[matched] += idf * sat * (k1 + 1.0) / (k1 + sat)
     cand = np.nonzero(nwords >= len(words))[0]
     docnos, scores = cand.astype(np.uint64), acc[cand]
+    if allow_docnos is not None and docnos.size:
+        # allow-filter in force: an empty allow set means nothing passes
+        pos = np.searchsorted(allow_docnos, docnos)
+        ok = pos < allow_docnos.size
+        m = np.zeros(docnos.size, dtype=bool)
+        m[ok] = allow_docnos[pos[ok]] == docnos[ok]
+        docnos, scores = docnos[m], scores[m]
     if deny_docnos is not None and docnos.size:
         pos = np.searchsorted(deny_docnos, docnos)
         ok = pos < deny_docnos.size

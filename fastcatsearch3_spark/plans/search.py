@@ -25,6 +25,8 @@ into the kernel so exclusion happens BEFORE top-k selection.
 
 from __future__ import annotations
 
+from dataclasses import dataclass as _dataclass
+
 import numpy as np
 import pandas as pd
 
@@ -1061,6 +1063,18 @@ BATCH_KERNEL_SCHEMA = (
 )
 
 
+@_dataclass
+class Bm25fQuery:
+    """A true-BM25F query spec for :func:`search_many` (the batch twin of
+    :func:`search_bm25f`): every word of ``text`` must match in >= 1 of
+    the weighted fields (AND across words); per word, field tfs are
+    length-normalized, weighted and MERGED before the single k1
+    saturation, idf over the doc-level union df (``dfu_for_terms``)."""
+
+    text: str
+    field_weights: dict[str, float]
+
+
 def search_many(
     spark: SparkSession,
     store,  # fastcatsearch3_spark.index.IndexStore
@@ -1101,7 +1115,11 @@ def search_many(
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
 
     parsed: dict[str, ParsedQuery] = {}
+    f_queries: dict[str, Bm25fQuery] = {}
     for qid, q in queries.items():
+        if isinstance(q, Bm25fQuery):
+            f_queries[qid] = q
+            continue
         pq = parse_query(q, cfg) if isinstance(q, str) else q
         pq = _expand_prefixes(spark, store, pq, cfg)
         if pq is None:  # an AND'd prefix matched nothing in the lexicon
@@ -1185,7 +1203,52 @@ def search_many(
         )
         fetch.update(qidf)
         fetch.update(nset)
-    if not specs:
+
+    # BM25F specs (the batch twin of search_bm25f): per word an (idf,
+    # [(weight, field avgdl, field-qualified key), ...]) group whose tfs
+    # merge BEFORE saturation in the kernel; idf over the doc-level union
+    # df, served by the store's epoch-cached dfu_for_terms
+    from fastcatsearch3_spark.functions.analyzer import tokenize_text
+
+    f_specs: list[tuple] = []
+    for qid, fq in f_queries.items():
+        if not fq.field_weights:
+            raise ValueError(f"query {qid!r}: field_weights must name at least one field")
+        for fld in fq.field_weights:
+            if fld not in cfg.indexed_fields:
+                raise ValueError(
+                    f"query {qid!r}: unknown search field {fld!r} "
+                    f"(indexed: {cfg.indexed_fields})"
+                )
+        bases: list[str] = []
+        for w in fq.text.split():
+            toks = tokenize_text(w, cfg)
+            if not toks:
+                raise ValueError(f"query {qid!r}: word {w!r} analyzed to nothing")
+            bases.extend(t for t in toks if t not in bases)
+        if not bases:
+            continue
+        fields = list(fq.field_weights)
+        dfu = dfu_for_terms(spark, store, bases, fields)
+        if any(dfu.get(bse, 0) == 0 for bse in bases):
+            continue  # AND: a word absent from every field matches nothing
+        words = []
+        for bse in bases:
+            idf = float(bm25_idf(n_docs, dfu[bse]))
+            fkeys = []
+            for fld in fields:
+                key = bse if fld == "content" else f"{fld}:{bse}"
+                adl = (
+                    avgdl
+                    if fld == "content"
+                    else avgdl_by_field.get(fld, avgdl)
+                )
+                fkeys.append((float(fq.field_weights[fld]), adl, key))
+                fetch.add(key)
+            words.append((idf, fkeys))
+        f_specs.append((qid, words))
+
+    if not specs and not f_specs:
         return spark.createDataFrame([], "query_id string, doc_id long, score double")
 
     postings_df = store.postings(spark)
@@ -1218,7 +1281,9 @@ def search_many(
             for r in allow_doc_ids.select("query_id").distinct().collect()
         }
     elif allow_doc_ids is not None:
-        allowed_qids = {qid for qid, *_ in specs}
+        allowed_qids = {qid for qid, *_ in specs} | {
+            qid for qid, _ in f_specs
+        }
     else:
         allowed_qids = set()
 
@@ -1342,6 +1407,57 @@ def search_many(
                 phrase_tps=phrase_tps, phrase_slops=slops,
                 tree=tree, tree_pos_terms=tree_pos_terms,
                 phrase_only_terms=phrase_only,
+            )
+            if docnos.size:
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "segment_id": np.full(docnos.size, seg, np.int32),
+                            "shard": np.full(docnos.size, shard, np.int32),
+                            "docno": docnos.astype(np.int64),
+                            "score": scores,
+                        }
+                    )
+                )
+        # BM25F queries share the same decoded blobs; the per-word field
+        # groups merge tfs before saturation (score_bm25f)
+        for qid, words in f_specs:
+            ws = []
+            absent = False
+            for idf, fkeys in words:
+                ftps = []
+                for wgt, adl, key in fkeys:
+                    ent = blobs.get(key)
+                    if ent is None:
+                        continue
+                    raw, pbl, meta = ent
+                    ftps.append(
+                        (
+                            wgt,
+                            TermPostings(
+                                term=key, idf=idf, blob=raw, avgdl=adl,
+                                meta=meta,
+                            ),
+                        )
+                    )
+                if not ftps:
+                    absent = True  # AND: word absent from this shard
+                    break
+                ws.append((idf, ftps))
+            if absent:
+                continue
+            allow = None
+            if qid in allowed_qids:
+                allow = (
+                    allow_by_qid.get(qid, _no_allow)
+                    if per_query_allow
+                    else (allow_global
+                          if allow_global is not None else _no_allow)
+                )
+            docnos, scores = score_bm25f(
+                ws, k=k, k1=k1, b=b, avgdl=avgdl,
+                deny_docnos=deny, allow_docnos=allow,
             )
             if docnos.size:
                 outs.append(

@@ -307,3 +307,35 @@ def test_bm25f_differs_from_qf_on_crafted_docs(spark, tmp_path):
     # BM25F: one merged saturation -> doc 1's concentrated tf wins
     assert qf["doc_id"].tolist()[0] == 2
     assert f["doc_id"].tolist()[0] == 1
+
+
+def test_bm25f_batch_matches_single(spark, store):
+    """search_many with a Bm25fQuery spec scores identically to the
+    dedicated search_bm25f path (and coexists with lexical queries in
+    the same batch/kernel pass)."""
+    import numpy as np
+
+    from fastcatsearch3_spark.plans.query import ParsedQuery
+    from fastcatsearch3_spark.plans.search import (
+        Bm25fQuery,
+        search_bm25f,
+        search_many,
+    )
+
+    weights = {"content": 1.0, "repo": 2.0}
+    single = search_bm25f(spark, store, "spark src1", weights, k=10).toPandas()
+    batch = search_many(
+        spark,
+        store,
+        {
+            "f": Bm25fQuery("spark src1", weights),
+            "lex": ParsedQuery(terms=["spark"], op="AND"),
+        },
+        k=10,
+    ).toPandas()
+    got = batch[batch["query_id"] == "f"].reset_index(drop=True)
+    assert got["doc_id"].tolist() == single["doc_id"].tolist()
+    np.testing.assert_allclose(
+        got["score"].to_numpy(), single["score"].to_numpy(), atol=1e-9
+    )
+    assert (batch["query_id"] == "lex").sum() == 10
