@@ -765,6 +765,20 @@ def _q_bm25_fuzzy(spark, sf_dir):  # Lucene-style fuzzy term: "hash~2"
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25_fuzzy_artifact(spark, sf_dir):
+    # SymSpell deletion-neighborhood artifact (SURVEY §12.4): fuzzy
+    # expansion probes a persisted per-epoch deletion-variant table
+    # (O(stem deletions)) instead of levenshtein-scanning the vocab-sized
+    # lexicon; candidates exact-verified + ranked identically, so the
+    # oracle is the same SQL as bm25_fuzzy
+    from fastcatsearch3_spark.operators.fuzzy import fuzzy_index_build
+
+    store = _packed_store(spark, sf_dir)
+    fuzzy_index_build(spark, store, max_dist=2)
+    hits = search_index(spark, store, "hash~2 merge", k=_K)
+    return hits.select("doc_id", _e4())
+
+
 def _q_bm25_proximity(spark, sf_dir):
     # J-5 proximity: '"table hash"~1' — ordered window, position difference
     # in [1-slop, 1+slop]; same scoring as bm25_phrase, looser filter
@@ -1550,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm": _q_bm25_msm,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_fuzzy": _q_bm25_fuzzy,
+        "bm25_fuzzy_artifact": _q_bm25_fuzzy_artifact,
         "bm25_field": _q_bm25_field,
         "bm25_multifield": _q_bm25_multifield,
         "bm25f_topk": _q_bm25f,
@@ -2137,6 +2152,40 @@ agg AS (SELECT doc_id, sum(partial) score, count(*) nw FROM scored
         GROUP BY doc_id)
 SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4 FROM agg
 WHERE nw = 2 ORDER BY score DESC, doc_id ASC LIMIT {_K}
+"""
+
+
+# fuzzy-expansion oracle (shared by bm25_fuzzy scan path and the
+# bm25_fuzzy_artifact SymSpell path — expansion is parity-identical)
+_FUZZY_SQL = f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+lex AS (SELECT term, CAST(count(*) AS BIGINT) AS lexdf FROM
+        (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+fexp AS (SELECT term FROM lex
+         WHERE levenshtein(term, 'hash') <= 2
+         ORDER BY levenshtein(term, 'hash') ASC, lexdf DESC, term ASC
+         LIMIT 32),
+qterms AS (
+  SELECT term, 0 AS grp FROM fexp
+  UNION ALL
+  SELECT 'merge' AS term, 1 AS grp
+),
+qtf AS (SELECT t.doc_id, t.term, t.tf, q.grp
+        FROM tf t JOIN qterms q ON t.term = q.term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.grp,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score,
+               count(DISTINCT grp) AS ng FROM scored GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM agg WHERE ng = 2
+ORDER BY score DESC, doc_id ASC LIMIT {_K}
 """
 
 
@@ -2905,36 +2954,8 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
         # fuzzy term "hash~2": lexicon terms within Levenshtein 2 become
         # one synonym-style group (dist asc, df desc, term asc, capped at
         # 32 — the engine's max_prefix_expansion), AND'd with "merge"
-        "bm25_fuzzy": f"""
-WITH tf AS ({_TF}),
-dl AS ({_DL}),
-stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
-lex AS (SELECT term, CAST(count(*) AS BIGINT) AS lexdf FROM
-        (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
-fexp AS (SELECT term FROM lex
-         WHERE levenshtein(term, 'hash') <= 2
-         ORDER BY levenshtein(term, 'hash') ASC, lexdf DESC, term ASC
-         LIMIT 32),
-qterms AS (
-  SELECT term, 0 AS grp FROM fexp
-  UNION ALL
-  SELECT 'merge' AS term, 1 AS grp
-),
-qtf AS (SELECT t.doc_id, t.term, t.tf, q.grp
-        FROM tf t JOIN qterms q ON t.term = q.term),
-dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
-scored AS (
-  SELECT q.doc_id, q.grp,
-         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
-           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
-  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
-),
-agg AS (SELECT doc_id, sum(partial) AS score,
-               count(DISTINCT grp) AS ng FROM scored GROUP BY doc_id)
-SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
-FROM agg WHERE ng = 2
-ORDER BY score DESC, doc_id ASC LIMIT {_K}
-""",
+        "bm25_fuzzy": _FUZZY_SQL,
+        "bm25_fuzzy_artifact": _FUZZY_SQL,
         # post-compaction: physical == live, so the plain logical-corpus
         # BM25 oracle applies to the upserted/deleted corpus
         "incremental_compact_search": _bm25_sql(

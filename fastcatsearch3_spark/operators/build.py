@@ -870,6 +870,17 @@ def build_index(
     return {"built": built, "skipped": skipped, "n_segments": n_segments}
 
 
+def _parquet_rows(path: str) -> int | None:
+    """Row count from parquet footers, driver-side, no Spark job; None
+    when pyarrow can't reach the path (exotic filesystems)."""
+    try:
+        import pyarrow.dataset as pds
+
+        return int(pds.dataset(path, format="parquet").count_rows())
+    except Exception:  # noqa: BLE001 — any reader failure → caller fallback
+        return None
+
+
 def publish_lexicon(
     spark: SparkSession, index_root: str, cfg: EngineConfig, n_segments: int
 ) -> None:
@@ -886,17 +897,27 @@ def publish_lexicon(
         F.sum("df").alias("df"), F.sum("cf").alias("cf")
     )
     schemas.assert_schema(lex, schemas.LEXICON, "lexicon")
-    # term-range-partitioned + sorted: parquet min/max statistics then
-    # prune cold-term lookups (IndexStore._lexicon_lookup_arrow reads this
-    # artifact driver-side with a pushed term filter — file- and
-    # row-group-level pruning make that O(query terms), not O(vocab)).
-    # One extra shuffle of the vocab-sized relation, paid once per build.
-    (
-        lex.repartitionByRange("term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(str(root / "lexicon"))
-    )
+    # term-sorted output: parquet min/max statistics then prune cold-term
+    # lookups (IndexStore._lexicon_lookup_arrow reads this artifact
+    # driver-side with a pushed term filter — file- and row-group-level
+    # pruning make that O(query terms), not O(vocab)). Sizing matters:
+    # repartitionByRange costs a range-SAMPLING job plus a second shuffle,
+    # which is pure scheduling overhead on a small vocab (BUILD_AB_r04
+    # measured it as the only real r2→r3 build delta). The input row count
+    # (per-(term, shard, segment) rows — an upper bound on vocab) is read
+    # driver-side from the parquet footers to pick the shape: small vocab →
+    # locally sorted single file (no extra shuffle), huge vocab →
+    # range-partitioned ~2M-term files (global sort, pruned probes).
+    est = _parquet_rows(str(root / "postings"))
+    if est is not None and est <= 2_000_000:
+        out = lex.coalesce(1).sortWithinPartitions("term")
+    elif est is not None:
+        out = lex.repartitionByRange(
+            max(2, min(400, est // 2_000_000)), "term"
+        ).sortWithinPartitions("term")
+    else:  # footer read unavailable (exotic fs) — previous shape
+        out = lex.repartitionByRange("term").sortWithinPartitions("term")
+    out.write.mode("overwrite").parquet(str(root / "lexicon"))
 
     # corpus stats: summed from per-segment manifests (already audited at
     # write time via Observation) — no docmap re-scan job; fall back to a

@@ -1,0 +1,235 @@
+"""SymSpell-style deletion-neighborhood fuzzy-term artifact (SURVEY §12.4).
+
+Symmetric-delete spelling correction (Wolf Garbe's SymSpell — public
+algorithm): if lev(q, t) <= d, then deleting <= d characters from q and
+<= d characters from t reaches a common string. So precompute every
+lexicon term's deletion variants ONCE as a persisted artifact; at query
+time generate the stem's variants (driver-side, |variants| ~= 1 + L +
+L(L-1)/2 for d=2) and probe the artifact with a pushed ``variant IN``
+filter. Candidate generation is O(stem deletions) instead of the
+vocab-sized ``levenshtein()`` scan in plans/search._expand_prefixes;
+candidates then verify with an exact Levenshtein and rank
+(dist asc, df desc, term asc) — result-identical to the scan path
+(parity-tested in tests/test_fuzzy_artifact.py).
+
+Layout (the minhash_index_build pattern — per-epoch, atomic publish):
+
+    <root>/fuzzy/<epoch>/data/    (ns, variant, term, df) parquet,
+                                  range-partitioned + sorted by variant
+                                  so probes prune to a few row groups
+    <root>/fuzzy/<epoch>/meta.json  {max_dist, epoch, n_terms}
+
+``ns`` is the field namespace ("" = content, else the "repo:"-style
+prefix) — distance is measured on the term PAYLOAD, and unqualified stems
+never expand into a field's namespace, mirroring the scan path exactly.
+
+Scale note: artifact rows ~= Σ_terms (1 + L + L(L-1)/2) at d=2 (~30-40×
+the lexicon for code tokens). That is SymSpell's published space trade;
+probe cost is independent of vocab size. For extreme term lengths a
+prefix-truncated variant (SymSpell's prefixLength) would bound the
+blow-up at a small recall risk — not built, documented.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def deletion_variants(word: str, max_dist: int) -> list[str]:
+    """All strings reachable from ``word`` by deleting <= max_dist chars
+    (the word itself included), deduped, deterministic order."""
+    seen = {word}
+    frontier = [word]
+    for _ in range(max_dist):
+        nxt = []
+        for w in frontier:
+            for i in range(len(w)):
+                v = w[:i] + w[i + 1 :]
+                if v not in seen:
+                    seen.add(v)
+                    nxt.append(v)
+        frontier = nxt
+    return sorted(seen)
+
+
+def levenshtein(a: str, b: str, cap: int) -> int:
+    """Exact edit distance, early-exited past ``cap`` (returns cap + 1).
+    Candidate sets are probe-sized (tens of rows), so a pure-python DP is
+    cheaper than shipping them back through a Spark job."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = cur[0]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            best = min(best, cur[j])
+        if best > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= cap else cap + 1
+
+
+def _split_ns(term: str) -> tuple[str, str]:
+    """"repo:spark" → ("repo:", "spark"); bare content terms → ("", t).
+    Analyzer tokens cannot contain ':', so any ':' marks a field key."""
+    if ":" in term:
+        pref, payload = term.split(":", 1)
+        return pref + ":", payload
+    return "", term
+
+
+FUZZY_SCHEMA = "ns string, variant string, term string, df long"
+
+
+def fuzzy_index_build(
+    spark: SparkSession, store, max_dist: int = 2
+) -> str:
+    """Build (or refresh) the deletion-neighborhood artifact for the
+    store's CURRENT epoch. Idempotent per epoch; concurrent builders race
+    on an atomic rename (loser discards). Returns the artifact dir.
+
+    One mapInPandas pass over the lexicon: per term, emit its payload's
+    deletion variants (vectorized across the partition's terms, python
+    string slicing only — no per-row Spark machinery). The output is
+    range-partitioned and sorted by ``variant`` so a probe's pushed IN
+    filter prunes to a handful of row groups — the same serving trick as
+    the sorted lexicon (IndexStore._lexicon_lookup_arrow)."""
+    ep = store.epoch()
+    out = Path(store.root, "fuzzy", ep)
+    if (out / "meta.json").exists():
+        return str(out)
+
+    d = int(max_dist)
+
+    def gen(batches):
+        for pdf in batches:
+            ns_l, var_l, term_l, df_l = [], [], [], []
+            for term, df in zip(pdf["term"], pdf["df"]):
+                ns, payload = _split_ns(str(term))
+                for v in deletion_variants(payload, d):
+                    ns_l.append(ns)
+                    var_l.append(v)
+                    term_l.append(term)
+                    df_l.append(int(df))
+            yield pd.DataFrame(
+                {
+                    "ns": pd.Series(ns_l, dtype=object),
+                    "variant": pd.Series(var_l, dtype=object),
+                    "term": pd.Series(term_l, dtype=object),
+                    "df": pd.Series(df_l, dtype="int64"),
+                }
+            )
+
+    lex = store.lexicon(spark).select("term", "df")
+    n_terms = lex.count()
+    rows = lex.mapInPandas(gen, FUZZY_SCHEMA)
+    tmp = out.with_name(out.name + f".tmp-{id(store) & 0xFFFF}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        rows.repartitionByRange(F.col("variant"))
+        .sortWithinPartitions("variant")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1 << 20)
+        .parquet(str(tmp / "data"))
+    )
+    (tmp / "meta.json").write_text(
+        json.dumps({"max_dist": d, "epoch": ep, "n_terms": int(n_terms)})
+    )
+    if not out.exists():
+        tmp.rename(out)
+    else:  # concurrent builder published first
+        shutil.rmtree(tmp, ignore_errors=True)
+    # GC stale epochs (best effort)
+    for p in out.parent.iterdir():
+        if p.name != out.name and not p.name.endswith(".tmp"):
+            shutil.rmtree(p, ignore_errors=True)
+    return str(out)
+
+
+def _artifact_dir(store, max_dist: int) -> Path | None:
+    """Current-epoch artifact dir if present and built for >= max_dist."""
+    out = Path(store.root, "fuzzy", store.epoch())
+    meta = out / "meta.json"
+    if not meta.exists():
+        return None
+    try:
+        if int(json.loads(meta.read_text())["max_dist"]) < max_dist:
+            return None
+    except Exception:  # noqa: BLE001 — unreadable meta → treat as absent
+        return None
+    return out
+
+
+def fuzzy_expand(
+    spark: SparkSession | None,
+    store,
+    stem: str,
+    max_dist: int,
+    limit: int,
+) -> list[str] | None:
+    """Expand a (possibly field-qualified) stem against the artifact:
+    candidates from the deletion-neighborhood probe, exact-Levenshtein
+    verified, ranked (dist asc, df desc, term asc), capped at ``limit`` —
+    byte-identical ordering to the lexicon-scan path. Returns None when
+    no current-epoch artifact exists (caller falls back to the scan).
+
+    The probe reads driver-side via pyarrow with a pushed
+    ``ns == pref AND variant IN (...)`` filter (row-group pruned — no
+    Spark job, O(stem deletions) work); a Spark fallback covers exotic
+    filesystems with identical results."""
+    out = _artifact_dir(store, max_dist)
+    if out is None:
+        return None
+    pref, payload = _split_ns(stem)
+    variants = deletion_variants(payload, max_dist)
+    cand: list[tuple[str, int]] | None = None
+    try:
+        import pyarrow.dataset as pds
+
+        tbl = pds.dataset(str(out / "data"), format="parquet").to_table(
+            columns=["ns", "term", "df"],
+            filter=(pds.field("ns") == pref)
+            & pds.field("variant").isin(variants),
+        )
+        cand = list(
+            dict(
+                zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
+            ).items()
+        )
+    except Exception:  # noqa: BLE001 — any reader failure → Spark probe
+        cand = None
+    if cand is None:
+        if spark is None:
+            return None
+        rows = (
+            spark.read.parquet(str(out / "data"))
+            .where((F.col("ns") == pref) & F.col("variant").isin(variants))
+            .select("term", "df")
+            .distinct()
+            .collect()
+        )
+        cand = [(r["term"], r["df"]) for r in rows]
+    scored = []
+    for term, df in cand:
+        dist = levenshtein(_split_ns(term)[1], payload, max_dist)
+        if dist <= max_dist:
+            scored.append((dist, -int(df), term))
+    scored.sort()
+    return [t for _, _, t in scored[:limit]]

@@ -227,6 +227,19 @@ def _expand_prefixes(
             # field namespace and measure distance on the payload
             # (Levenshtein is invariant under a shared prefix).
             stem, d = fz
+            # SymSpell deletion-neighborhood artifact first (built via
+            # operators.fuzzy.fuzzy_index_build, per index epoch):
+            # O(stem deletions) probe instead of this vocab-sized scan;
+            # identical verification + ranking, parity-tested. Falls
+            # through to the scan when no current-epoch artifact exists.
+            from fastcatsearch3_spark.operators.fuzzy import fuzzy_expand
+
+            got_art = fuzzy_expand(
+                spark, store, stem, d, cfg.max_prefix_expansion
+            )
+            if got_art is not None:
+                expansions[ph] = got_art
+                continue
             pref, base = (
                 (stem.rsplit(":", 1)[0] + ":", stem.rsplit(":", 1)[1])
                 if ":" in stem

@@ -23,6 +23,8 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from fastcatsearch3_spark.streaming.windows import windowed_event_counts
 
 
@@ -302,3 +304,77 @@ def test_stream_exact_dedup_ttl_eviction(spark, tmp_path):
         wait_ids([1, 2, 4, 6])
     finally:
         q.stop()
+
+
+def test_stream_dedup_bloom_prefilter(spark, tmp_path):
+    """Bloom-fronted dedup against a base corpus (SURVEY §12.2): base
+    duplicates never emit AND never reach the stateful shuffle; novel
+    content (incl. bloom false positives) dedups in-stream exactly as
+    before; the routing arithmetic shows the shuffle-row reduction."""
+    from fastcatsearch3_spark.streaming.stateful import (
+        build_seen_bloom,
+        prefilter_counts,
+        stream_exact_dedup_against,
+    )
+
+    # base corpus: 200 distinct docs
+    base_rows = [(i, f"base doc {i} words") for i in range(200)]
+    base = spark.createDataFrame(
+        pd.DataFrame(base_rows, columns=["doc_id", "text"])
+    )
+    base_hashes = base.select(F.sha2("text", 256).alias("content_sha256"))
+    bloom = build_seen_bloom(base_hashes, fpp=0.01)
+
+    # duplicate-heavy stream: 160 base dups + 20 novel (one duplicated
+    # in-stream) arriving over two micro-batches
+    b0 = [(1000 + i, f"base doc {i} words") for i in range(80)] + [
+        (2000 + i, f"novel doc {i} here") for i in range(10)
+    ]
+    b1 = (
+        [(3000 + i, f"base doc {i + 80} words") for i in range(80)]
+        + [(4000 + i, f"novel doc {i + 10} here") for i in range(10)]
+        + [(5000, "novel doc 0 here")]  # in-stream dup of an earlier novel
+    )
+    src = tmp_path / "bloom_stream"
+    src.mkdir()
+    pd.DataFrame(b0, columns=["doc_id", "text"]).to_parquet(
+        f"{src}/batch-0.parquet", index=False
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream_exact_dedup_against(stream, base_hashes, bloom)
+        .writeStream.format("memory")
+        .queryName("bloom_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(
+            f"{src}/batch-1.parquet", index=False
+        )
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT doc_id, text FROM bloom_dedup_stream ORDER BY doc_id"
+        ).toPandas()
+    finally:
+        q.stop()
+    # exactly the 20 novel docs, first occurrence each, no base dup leaked
+    assert len(got) == 20
+    assert set(got["text"]) == {f"novel doc {i} here" for i in range(20)}
+    assert 5000 not in set(got["doc_id"])  # in-stream dup dropped
+
+    # routing arithmetic on the same data: ≥ 160 of 181 rows never shuffle
+    all_rows = spark.createDataFrame(
+        pd.DataFrame(b0 + b1, columns=["doc_id", "text"])
+    )
+    counts = prefilter_counts(all_rows, base_hashes, bloom)
+    assert counts["total"] == 181
+    assert counts["base_drops"] == 160
+    assert counts["into_state"] == counts["total"] - counts["base_drops"]
+    assert counts["into_state"] <= 21  # novel rows only (+0 FPs here)
