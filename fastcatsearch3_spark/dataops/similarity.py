@@ -160,6 +160,7 @@ def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int = 8,
     iters: int = 3,
+    init: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """SPHERICAL Lloyd's k-means over the embedding column, as ``iters``
     iterative DataFrame jobs (the near_dup_clusters propagation pattern):
@@ -195,10 +196,17 @@ def kmeans_centroids(
         raw.alias("vec"),
         F.transform(raw, lambda x: x / safe).alias("uvec"),
     )
-    cents = [
-        (int(r["vec_id"]), list(r["vec"]))
-        for r in v.where(F.col("vec_id") < n_centroids).collect()
-    ]
+    if init is not None:
+        # warm start (IVF refresh on append): continue Lloyd from the
+        # previous epoch's centroids instead of re-seeding — the usual
+        # incremental k-means move; a round or two re-balances the new
+        # mass without forgetting the old structure
+        cents = [(int(c), list(vec)) for c, vec in init]
+    else:
+        cents = [
+            (int(r["vec_id"]), list(r["vec"]))
+            for r in v.where(F.col("vec_id") < n_centroids).collect()
+        ]
     for _ in range(iters):
         cdf = spark.createDataFrame(
             [(c, vec) for c, vec in cents], "cid int, cvec array<double>"
@@ -367,9 +375,10 @@ def quantized_ann_topk(
 def ivf_index_build(
     emb: DataFrame,
     out_dir: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     train_iters: int = 3,
-) -> None:
+    refresh: bool = False,
+) -> dict:
     """Persist the IVF artifact — built once per corpus epoch (like the
     search index and the MinHash band table) so query-time cost is
     centroid-table lookup + an nprobe-pruned scan. Layout under
@@ -385,14 +394,51 @@ def ivf_index_build(
 
     Assignment is the same broadcast cosine-argmax hash aggregate as
     ``ivf_ann_topk`` (one narrow pass; no window shuffle); the partitioned
-    write shuffles on cid once, at build time, never at query time."""
+    write shuffles on cid once, at build time, never at query time.
+
+    Lifecycle (VERDICT r3 #8):
+
+      * ``n_centroids=None`` auto-sizes to ~sqrt(n) (the standard IVF
+        heuristic: probe cost n/k ≈ centroid-scan cost k at k = sqrt(n)),
+        clamped to [4, 65536] and to n.
+      * ``refresh=True`` over an existing artifact inherits the manifest
+        geometry (pass ``n_centroids=None`` or the same value; a different
+        value forces a full rebuild) and warm-starts Lloyd from
+        the PREVIOUS centroids (incremental k-means: a round re-balances
+        appended mass without forgetting structure) and rewrites ONLY the
+        list partitions whose membership changed — dynamic partition
+        overwrite; unchanged cid directories are untouched on disk, so an
+        append that lands in a few lists costs those lists, not the
+        corpus.
+
+    Returns {"n_centroids", "dim", "n_vectors", "refreshed",
+    "changed_cids"} (changed_cids is None on a full build)."""
     import json
     from pathlib import Path
 
     spark = emb.sparkSession
-    cents = kmeans_centroids(emb, n_centroids, iters=train_iters)
+    n_vectors = emb.count()
+    prev_cents = None
+    if refresh and Path(out_dir, "manifest.json").exists():
+        prev = json.loads(Path(out_dir, "manifest.json").read_text())
+        rows = spark.read.parquet(str(Path(out_dir) / "centroids")).collect()
+        prev_cents = sorted(
+            ((int(r["cid"]), list(r["cvec"])) for r in rows)
+        )
+        if n_centroids is not None and n_centroids != prev["n_centroids"]:
+            prev_cents = None  # geometry change → full rebuild
+        else:
+            n_centroids = prev["n_centroids"]
+    if n_centroids is None:
+        import math
+
+        n_centroids = int(
+            max(4, min(65536, min(n_vectors, round(math.sqrt(n_vectors)))))
+        )
+    cents = kmeans_centroids(
+        emb, n_centroids, iters=train_iters, init=prev_cents
+    )
     cdf = spark.createDataFrame(cents, "cid int, cvec array<double>")
-    cdf.write.mode("overwrite").parquet(str(Path(out_dir) / "centroids"))
     v = emb.select("vec_id", _dvec("embedding").alias("vec"))
     csim = _safe_cos("vec", "cvec")
     assign = (
@@ -406,18 +452,81 @@ def ivf_index_build(
         )
         .select("vec_id", F.col("best.cid").alias("cid"), F.col("best.vec").alias("vec"))
     )
-    (
-        assign.repartition("cid")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(str(Path(out_dir) / "lists"))
-    )
+    changed_cids = None
+    if prev_cents is not None:
+        # membership diff vs the previous lists: a cid must be rewritten
+        # iff it GAINS a vector (new/moved-in) or LOSES one (moved-out /
+        # deleted). Everything else keeps its files byte-identical.
+        old = spark.read.parquet(str(Path(out_dir) / "lists")).select(
+            "vec_id", F.col("cid").alias("old_cid")
+        )
+        diff = (
+            assign.select("vec_id", "cid")
+            .join(old, "vec_id", "full_outer")
+            .where(
+                F.col("cid").isNull()
+                | F.col("old_cid").isNull()
+                | (F.col("cid") != F.col("old_cid"))
+            )
+        )
+        changed_cids = sorted(
+            int(c)
+            for r in diff.select(
+                F.array("cid", "old_cid").alias("cs")
+            ).collect()
+            for c in r["cs"]
+            if c is not None
+        )
+        changed_cids = sorted(set(changed_cids))
+    cdf.write.mode("overwrite").parquet(str(Path(out_dir) / "centroids"))
+    if changed_cids is None:
+        # full build: static overwrite replaces the whole lists dir
+        (
+            assign.repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(str(Path(out_dir) / "lists"))
+        )
+    elif changed_cids:
+        writer = assign.where(F.col("cid").isin(changed_cids))
+        live = {
+            int(r["cid"])
+            for r in writer.select("cid").distinct().collect()
+        }
+        (
+            writer.repartition("cid")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cid")
+            .parquet(str(Path(out_dir) / "lists"))
+        )
+        # a changed cid that lost its LAST member writes no partition —
+        # dynamic overwrite leaves its old directory; drop it explicitly
+        import shutil
+
+        for c in changed_cids:
+            if c not in live:
+                shutil.rmtree(
+                    Path(out_dir) / "lists" / f"cid={c}", ignore_errors=True
+                )
     dim = len(cents[0][1]) if cents else 0
     Path(out_dir, "manifest.json").write_text(
         json.dumps(
-            {"n_centroids": n_centroids, "train_iters": train_iters, "dim": dim}
+            {
+                "n_centroids": n_centroids,
+                "train_iters": train_iters,
+                "dim": dim,
+                "n_vectors": int(n_vectors),
+            }
         )
     )
+    return {
+        "n_centroids": n_centroids,
+        "dim": dim,
+        "n_vectors": int(n_vectors),
+        "refreshed": prev_cents is not None,
+        "changed_cids": changed_cids,
+    }
 
 
 def ivf_index_topk(

@@ -177,6 +177,55 @@ def _artifact_dir(store, max_dist: int) -> Path | None:
     return out
 
 
+def _probe_rowgroups(
+    data_dir: Path, pref: str, variants: list[str]
+) -> list[tuple[str, int]]:
+    """Driver-side probe with MANUAL parquet row-group pruning: per file,
+    keep only row groups whose sorted-variant [min, max] statistics
+    intersect a probe variant, read just those, exact-filter in Arrow.
+    pyarrow's ``dataset().to_table(filter=isin)`` decodes every row group
+    before filtering (measured 0.26 s vs 0.025 s on a 43M-row artifact);
+    footer statistics make point lookups O(matching groups). parquet-mr's
+    string-stat truncation keeps min/max valid BOUNDS (max is incremented
+    when truncated), so the pruning is never lossy; a group without
+    statistics is read (safe)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    vset = sorted(variants)
+    varr = pa.array(vset, type=pa.string())
+    out: dict[str, int] = {}
+    for f in sorted(glob.glob(str(data_dir / "*.parquet"))):
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        vidx = md.schema.to_arrow_schema().get_field_index("variant")
+        groups = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(vidx).statistics
+            if st is None or not st.has_min_max:
+                groups.append(g)
+                continue
+            if any(st.min <= v <= st.max for v in vset):
+                groups.append(g)
+        if not groups:
+            continue
+        tbl = pf.read_row_groups(
+            groups, columns=["ns", "variant", "term", "df"]
+        )
+        mask = pc.and_(
+            pc.equal(tbl.column("ns"), pref),
+            pc.is_in(tbl.column("variant"), value_set=varr),
+        )
+        t = tbl.filter(mask)
+        out.update(
+            zip(t.column("term").to_pylist(), t.column("df").to_pylist())
+        )
+    return list(out.items())
+
+
 def fuzzy_expand(
     spark: SparkSession | None,
     store,
@@ -201,18 +250,7 @@ def fuzzy_expand(
     variants = deletion_variants(payload, max_dist)
     cand: list[tuple[str, int]] | None = None
     try:
-        import pyarrow.dataset as pds
-
-        tbl = pds.dataset(str(out / "data"), format="parquet").to_table(
-            columns=["ns", "term", "df"],
-            filter=(pds.field("ns") == pref)
-            & pds.field("variant").isin(variants),
-        )
-        cand = list(
-            dict(
-                zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist())
-            ).items()
-        )
+        cand = _probe_rowgroups(out / "data", pref, variants)
     except Exception:  # noqa: BLE001 — any reader failure → Spark probe
         cand = None
     if cand is None:
