@@ -35,6 +35,7 @@ class Collection:
         self, spark: SparkSession, index_root: str,
         cfg: EngineConfig | None = None,
         cache_size: int = 0,
+        shared_cache: bool = False,
     ):
         """``cache_size`` > 0 enables the search-result cache — the
         reference caches search results per collection and drops them on
@@ -42,7 +43,13 @@ class Collection:
         (index epoch, query, k, kwargs); an append/delete/compact changes
         ``IndexStore.epoch()`` so stale entries can never be served. Only
         plain-text/ParsedQuery lookups cache; calls passing DataFrame
-        arguments (allow lists, corpus) bypass it."""
+        arguments (allow lists, corpus) bypass it.
+
+        ``shared_cache`` adds a CROSS-PROCESS L2 (SURVEY §10.5): a sqlite
+        file under ``<root>/.cache`` any serving process shares — a miss
+        in this process's in-memory LRU consults it before running the
+        search, and every computed result publishes to it. Same
+        epoch-keyed invalidation; the in-memory LRU stays the L1."""
         self.spark = spark
         self.root = str(index_root)
         self._cfg = cfg
@@ -50,6 +57,12 @@ class Collection:
         self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self.cache_hits = 0
         self.cache_misses = 0
+        self.shared_hits = 0
+        self._shared = None
+        if shared_cache:
+            from fastcatsearch3_spark.cache import SharedResultCache
+
+            self._shared = SharedResultCache(self.root)
 
     @property
     def cfg(self) -> EngineConfig:
@@ -105,12 +118,28 @@ class Collection:
             self.cache_hits += 1
             schema, rows = hit
             return self.spark.createDataFrame(rows, schema=schema)
+        if self._shared is not None:
+            got = self._shared.get(repr(key), key[0])
+            if got is not None:
+                from pyspark.sql.types import StructType
+                import json as _json
+
+                schema_json, rows = got
+                schema = StructType.fromJson(_json.loads(schema_json))
+                self.shared_hits += 1
+                self.cache_hits += 1
+                self._cache[key] = (schema, rows)
+                while len(self._cache) > self.cache_size:
+                    self._cache.popitem(last=False)
+                return self.spark.createDataFrame(rows, schema=schema)
         self.cache_misses += 1
         out = search_index(self.spark, self.store, query, k=k, **kw)
         rows = out.collect()  # ≤ k result rows — never O(corpus)
         self._cache[key] = (out.schema, rows)
         while len(self._cache) > self.cache_size:
             self._cache.popitem(last=False)
+        if self._shared is not None:
+            self._shared.put(repr(key), key[0], out.schema.json(), rows)
         return self.spark.createDataFrame(rows, schema=out.schema)
 
     def search_many(self, queries: dict, k: int = 10, **kw) -> DataFrame:

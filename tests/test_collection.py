@@ -108,3 +108,59 @@ def test_collection_lifecycle(spark, tmp_path):
     assert {r["doc_id"] for r in col.match("merge").collect()} == {2, 3}
     terms = [r["term"] for r in col.suggest("s", k=10).collect()]
     assert "spark" in terms and "slow" in terms
+
+
+def test_shared_cache_cross_process(spark, tmp_path):
+    """SURVEY §10.5: a result computed by ANOTHER driver process serves
+    this process's first lookup from the shared sqlite cache; an append
+    (new epoch) invalidates it for both."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "sharedidx")
+    col = Collection(
+        spark, root, EngineConfig(num_shards=2), cache_size=8,
+        shared_cache=True,
+    )
+    col.build(normalize_corpus(spark.createDataFrame(_pdf(
+        [(1, "spark merge table"), (2, "slow merge line"),
+         (3, "spark value row")]
+    ))))
+
+    # process B computes the result and publishes it to the shared cache
+    worker = f"""
+import sys
+sys.path.insert(0, {repr("/root/repo")})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from fastcatsearch3_spark import Collection
+col = Collection(spark, {repr(root)}, cache_size=8, shared_cache=True)
+rows = col.search("spark merge", k=5).collect()
+print("WORKER_ROWS", [(r["doc_id"], round(r["score"], 6)) for r in rows])
+assert col.cache_misses == 1 and col.shared_hits == 0
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", worker], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    want = next(
+        ln for ln in r.stdout.splitlines() if ln.startswith("WORKER_ROWS")
+    )
+
+    # process A (this one): first lookup is a SHARED hit — no search ran
+    rows = col.search("spark merge", k=5).collect()
+    assert col.shared_hits == 1 and col.cache_misses == 0
+    got = "WORKER_ROWS " + str(
+        [(r["doc_id"], round(r["score"], 6)) for r in rows]
+    )
+    assert got == want
+
+    # mutation invalidates: new epoch → miss in BOTH tiers, fresh result
+    col.append(spark.createDataFrame(_pdf([(4, "spark merge extra")])))
+    rows2 = col.search("spark merge", k=5).collect()
+    assert col.cache_misses == 1
+    assert {r["doc_id"] for r in rows2} >= {4}
