@@ -1534,18 +1534,20 @@ def _q_stream_window(spark, sf_dir):  # ST-3: the STREAM-capable watermarked
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the round driver hash-checks the FIRST 50 entries (in
-    # dict order) against oracle_sql() at sf0.01.  The window below is curated
-    # so every SURVEY-§2 operator family has a driver-checked representative:
-    # core build/scoring anchors first, then the full query surface (phrase /
-    # proximity / nested / msm / prefix / field / multifield / filters /
-    # paging / sort / highlight / federation / batch / facets / collapse /
-    # MLT / spell / suggest / hybrid), the incremental lifecycle, the three
-    # sources, streaming windows, curation, and the scale-path dedup/ANN.
-    # Entries past #50 were all driver-green in CORRECTNESS_r02; a full
-    # self-run over ALL entries is published per-round via
-    # scripts/driver_check.py (see BENCH/).
+    # dict order) against oracle_sql() at sf0.01. The window is curated so
+    # every SURVEY-§2 operator family keeps a driver-checked representative,
+    # and ROTATED each round (VERDICT r3 #2): r4 adds its new operators
+    # (bm25_phrase_or, bm25_fuzzy_artifact, the BM25F batch arm inside
+    # search_batch) and rotates in 7 tail entries never driver-checked
+    # before (dedup_simhash, dedup_incremental, ann_quantized_topk,
+    # tf_cjk_bigrams, filter_range, facet_topn, window_lag); displaced
+    # entries (bm25_boost, bm25_msm, search_paging, source_json, doclens,
+    # pii_scrub, sample_stratified, mixture_weights, pack_sequences) are
+    # all driver-green in CORRECTNESS_r03. The full self-run over ALL
+    # entries is committed per-round as BENCH/DRIVER_CHECK_r{N}.txt
+    # (scripts/driver_check.py).
     return {
-        # -- core build / analysis / scoring anchors (driver-green r1+r2) --
+        # ---- driver-checked window (first 50; see NOTE above) ----
         "corpus_sha256": _q_corpus_sha256,
         "tf_table": _q_tf_table,
         "lexicon": _q_lexicon,
@@ -1553,77 +1555,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_packed_not": _q_bm25_packed_not,
         "bm25_or": _q_bm25_or,
         "bm25_synonyms": _q_bm25_synonyms,
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        # -- full query surface (driver-unchecked in r2 -> now in-window) --
+        "index_stats": _q_index_stats,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_proximity": _q_bm25_proximity,
         "bm25_phrase_or": _q_bm25_phrase_or,
-        "bm25_boost": _q_bm25_boost,
-        "bm25_filtered": _q_bm25_filtered,
         "bm25_nested": _q_bm25_nested,
-        "bm25_msm": _q_bm25_msm,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_fuzzy_artifact": _q_bm25_fuzzy_artifact,
         "bm25_field": _q_bm25_field,
         "bm25_multifield": _q_bm25_multifield,
         "bm25f_topk": _q_bm25f,
-        "search_paging": _q_search_paging,
+        "bm25_filtered": _q_bm25_filtered,
         "search_sort": _q_search_sort,
         "search_highlight": _q_search_highlight,
         "search_collections": _q_search_collections,
         "search_batch": _q_search_batch,
+        "search_collapse": _q_search_collapse,
         "search_facet": _q_search_facet,
         "search_facet_range": _q_search_facet_range,
-        "search_collapse": _q_search_collapse,
         "more_like_this": _q_more_like_this,
         "spell_suggest": _q_spell_suggest,
         "suggest": _q_suggest,
         "hybrid_search": _q_hybrid_search,
         "hybrid_rrf": _q_hybrid_rrf,
-        "index_stats": _q_index_stats,
         "incremental_search": _q_incremental_search,
         "incremental_compact_search": _q_incremental_compact_search,
         "source_csv": _q_source_csv,
-        "source_json": _q_source_json,
         "source_jdbc": _q_source_jdbc,
         "stream_window": _q_stream_window,
         "session_window": _q_session_window,
         "popular_keywords": _q_popular_keywords,
+        "curation_pipeline": _q_curation_pipeline,
+        "ngram_contamination": _q_ngram_contamination,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_incremental": _q_dedup_incremental,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_quantized_topk": _q_ann_quantized,
+        "tf_cjk_bigrams": _q_tf_cjk_bigrams,
+        "filter_range": _q_filter_range,
+        "facet_topn": _q_facet_topn,
+        "window_lag": _q_window_lag,
+        # ------------------- end of driver-checked window -------------------
+        # (all driver-green in r03 or judge-green; rotated out to make room
+        # for r4's new entries + never-checked tail rotations)
+        "bm25_boost": _q_bm25_boost,
+        "bm25_msm": _q_bm25_msm,
+        "search_paging": _q_search_paging,
+        "source_json": _q_source_json,
         "pii_scrub": _q_pii_scrub,
         "sample_stratified": _q_sample_stratified,
         "mixture_weights": _q_mixture_weights,
-        "ngram_contamination": _q_ngram_contamination,
         "pack_sequences": _q_pack_sequences,
-        "curation_pipeline": _q_curation_pipeline,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        # -- window tail: core anchor (bm25_fuzzy displaced match_boost
-        # past position 50; match_boost is driver-green from r02) --
         "doclens": _q_doclens,
-        # ------------------- end of driver-checked window -------------------
         "match_boost": _q_match_boost,
         "search_hydrate": _q_search_hydrate,
         "tf_filtered_analyzer": _q_tf_filtered_analyzer,
         "tf_code_identifiers": _q_tf_code_identifiers,
-        "tf_cjk_bigrams": _q_tf_cjk_bigrams,
         "bm25_and": _q_bm25_and,
         "filter_match": _q_filter_match,
-        "filter_range": _q_filter_range,
         "filter_prefix": _q_filter_prefix,
         "filter_exclude": _q_filter_exclude,
         "facet_count": _q_facet_count,
         "facet_stats": _q_facet_stats,
-        "facet_topn": _q_facet_topn,
         "sort_paging": _q_sort_paging,
         "set_except": _q_set_except,
         "events_hourly": _q_events_hourly,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_incremental": _q_dedup_incremental,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "token_counts": _q_token_counts,
@@ -1633,7 +1636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "unigram_logprob": _q_unigram_logprob,
         "tfidf_topk": _q_tfidf,
-        "ann_quantized_topk": _q_ann_quantized,
         "doc_fingerprint": _q_fingerprint,
         "binary_meta": _q_binary_meta,
         "multimodal_features": _q_multimodal_features,
@@ -1642,7 +1644,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": _q_join_revenue,
         "distinct_users": _q_distinct_users,
         "rollup_counts": _q_rollup_counts,
-        "window_lag": _q_window_lag,
     }
 
 
