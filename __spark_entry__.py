@@ -1029,6 +1029,23 @@ def _q_bm25_phrase_or(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25_phrase_or_syn(spark, sf_dir):
+    # r4 clause algebra (SURVEY §12.1 remainder closed): phrase under OR
+    # COMBINED with a synonym group — '"table hash" OR spark' where spark
+    # expands to {spark, vector}. Each GROUP is one SHOULD clause (Lucene
+    # SynonymQuery): any member's presence matches it and every present
+    # member scores; the phrase stays one presence-gated clause.
+    from fastcatsearch3_spark.plans.query import parse_query
+
+    cfg_pos = EngineConfig(store_positions=True)
+    store = _packed_store(spark, sf_dir, cfg=cfg_pos)
+    pq = parse_query(
+        '"table hash" OR spark', cfg_pos, synonyms={"spark": ["vector"]}
+    )
+    hits = search_index(spark, store, pq, k=_K)
+    return hits.select("doc_id", _e4())
+
+
 def _q_bm25_field(spark, sf_dir):
     # field-qualified search (multi-index collections): the repo field is
     # indexed alongside content ("repo:term" keys, its own avgdl); the
@@ -1559,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase": _q_bm25_phrase,
         "bm25_proximity": _q_bm25_proximity,
         "bm25_phrase_or": _q_bm25_phrase_or,
+        "bm25_phrase_or_syn": _q_bm25_phrase_or_syn,
         "bm25_nested": _q_bm25_nested,
         "bm25_prefix": _q_bm25_prefix,
         "bm25_fuzzy": _q_bm25_fuzzy,
@@ -2567,6 +2585,35 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
         # member-term partials are gated on the phrase doc set, 'vector'
         # scores on presence; gate = (free hit) OR (phrase hit)
         "bm25_phrase_or": _PHRASE_OR_SQL,
+        # phrase-OR with a synonym group (r4): group {spark, vector} is one
+        # SHOULD clause (any member present → matched, all present members
+        # score), phrase members stay gated on the phrase doc set
+        "bm25_phrase_or_syn": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('table', 'hash', 'spark', 'vector')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+ph AS ({_PH_TABLE_HASH_SET}),
+scored AS (
+  SELECT q.doc_id, q.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (
+  SELECT s.doc_id,
+         sum(CASE WHEN s.term IN ('table', 'hash')
+                  THEN CASE WHEN s.doc_id IN (SELECT doc_id FROM ph)
+                            THEN s.partial ELSE 0.0 END
+                  ELSE s.partial END) AS score,
+         max(CASE WHEN s.term IN ('spark', 'vector') THEN 1 ELSE 0 END) AS free_hit
+  FROM scored s GROUP BY s.doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM agg
+WHERE free_hit = 1 OR doc_id IN (SELECT doc_id FROM ph)
+ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
         "bm25_nested": _nested_sql(_Q_NESTED, _K),
         # per-field BM25: content term scored with content avgdl, repo-
         # qualified term with the repo field's avgdl (= Σ repo tokens /

@@ -333,12 +333,10 @@ def score_group(
     if or_phrases:
         # flat OR with phrase clauses: each phrase is one optional SHOULD
         # clause (see _score_or_phrases); the phrase gate is applied
-        # per-clause inside, NOT as the global post-filter below
-        if groups is not None:
-            raise ValueError(
-                "phrase queries under OR semantics cannot be combined with "
-                "synonym/prefix groups"
-            )
+        # per-clause inside, NOT as the global post-filter below. With
+        # synonym/prefix ``groups``, each GROUP is one SHOULD clause
+        # (any free member term matches it), mirroring _score_taat's
+        # group-hit counting under plain OR.
         docnos, scores = _score_or_phrases(
             terms,
             phrase_tps,
@@ -348,6 +346,7 @@ def score_group(
             b,
             avgdl,
             msm=msm,
+            groups=groups,
         )
     elif tree is not None:
         # nested boolean: ``terms`` carries every fetched TermPostings
@@ -415,6 +414,7 @@ def _score_or_phrases(
     b: float,
     avgdl: float,
     msm: int | None = None,
+    groups: list[tuple[int, ...]] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Flat OR with phrase clauses ('"a b" OR c' — Lucene BooleanQuery of
     SHOULD clauses where one clause is a PhraseQuery):
@@ -422,7 +422,13 @@ def _score_or_phrases(
       * each phrase is ONE optional clause — it matches where its terms
         occur in the required positional window (phrase_mask);
       * each free (non-phrase-member) term is one optional clause matched
-        by presence;
+        by presence; with synonym/prefix ``groups`` (aligned with
+        ``terms``), each distinct GROUP is the clause instead — it matches
+        where any of its free member terms is present (Lucene
+        SynonymQuery-as-SHOULD-clause), consistent with _score_taat's
+        group-hit counting under plain OR. Groups whose members are all
+        phrase-only never count as free clauses: the phrase IS their
+        clause;
       * a doc matches when >= ``msm`` (default 1) clauses match;
       * terms occurring ONLY inside a phrase (``phrase_only``) contribute
         score exactly where one of their phrases matches (presence-gated),
@@ -435,6 +441,11 @@ def _score_or_phrases(
     Exhaustive evaluation (no MaxScore pruning): the phrase gate depends
     on positions, so per-term upper bounds can't bound clause scores."""
     slops = phrase_slops or [0] * len(phrase_tps)
+    term_gids = (
+        {tp.term: gs for tp, gs in zip(terms, groups)}
+        if groups is not None
+        else None
+    )
     decoded: dict[str, tuple[TermPostings, np.ndarray, np.ndarray, np.ndarray]] = {}
     # sorted-term insertion order → deterministic float summation
     for tp in sorted(terms, key=lambda t: t.term):
@@ -452,6 +463,7 @@ def _score_or_phrases(
             pmasks.append(phrase_mask(cand, ptps, slop=sl))
     acc = np.zeros(cand.size, dtype=np.float64)
     matched = np.zeros(cand.size, dtype=np.int64)
+    gid_hit: dict[int, np.ndarray] = {}
     for term, (tp, d, t, l) in decoded.items():
         pos = np.searchsorted(all_d, d)  # d ⊆ all_d → exact positions
         contrib = tp.idf * bm25_tf_norm(t, l, k1, b, tp.adl(avgdl))
@@ -464,7 +476,18 @@ def _score_or_phrases(
             acc[pos[g]] += contrib[g]
         else:
             acc[pos] += contrib
-            matched[pos] += 1
+            if term_gids is None:
+                matched[pos] += 1
+            else:
+                # group-as-clause: a term credits EVERY group it belongs
+                # to; the group counts once per doc however many members hit
+                for gid in term_gids[term]:
+                    m = gid_hit.setdefault(
+                        gid, np.zeros(cand.size, dtype=bool)
+                    )
+                    m[pos] = True
+    for m in gid_hit.values():
+        matched += m
     for m in pmasks:
         matched += m
     need = msm if msm is not None else 1

@@ -808,10 +808,20 @@ def search_index(
         and pq.msm is not None
         and phrases
     ):
-        # msm counts CLAUSES here: free terms present + viable phrases
-        n_clauses = len([t for t in terms if t not in phrase_only]) + len(
-            phrases
-        )
+        # msm counts CLAUSES here: free terms (or, with synonym/prefix
+        # groups, distinct free-term groups) present + viable phrases
+        if term_groups is not None:
+            n_free = len(
+                {
+                    gid
+                    for t in terms
+                    if t not in phrase_only
+                    for gid in term_groups[t]
+                }
+            )
+        else:
+            n_free = len([t for t in terms if t not in phrase_only])
+        n_clauses = n_free + len(phrases)
         if n_clauses < pq.msm:
             return spark.createDataFrame([], "doc_id long, score double")
     postings_df = store.postings(spark)

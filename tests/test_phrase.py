@@ -385,3 +385,88 @@ def test_phrase_or_batch_matches_single(spark, store):
     np.testing.assert_allclose(
         b["score"].to_numpy(), single["score"].to_numpy(), atol=1e-9
     )
+
+
+def test_phrase_or_synonym_group(spark, tmp_path):
+    """'"alpha charlie" OR delta' with delta→omega synonyms (r4, SURVEY
+    §12.1): the synonym group {delta, omega} is ONE SHOULD clause beside
+    the phrase clause — any member's presence matches the group, every
+    present member scores, and the phrase members stay presence-gated."""
+    from tests.oracle import bm25_topk_oracle
+
+    store, cfg, pdf = _or_phrase_store(spark, tmp_path)
+    docs = pdf.rename(columns={"text": "content"})[["doc_id", "content"]]
+
+    pq = parse_query(
+        '"alpha charlie" OR delta', cfg, synonyms={"delta": ["omega"]}
+    )
+    assert pq.groups is not None and pq.phrases == [["alpha", "charlie"]]
+    got = search_index(spark, store, pq, k=10).toPandas()
+    # doc 4 ("omega end") now matches through the synonym group
+    assert set(got["doc_id"]) == {1, 2, 3, 4, 6}
+
+    per_term = {
+        t: dict(
+            bm25_topk_oracle(docs, [t], k=100, op="OR", cfg=cfg)
+            .itertuples(index=False, name=None)
+        )
+        for t in ("alpha", "charlie", "delta", "omega")
+    }
+    expect = {
+        1: per_term["alpha"][1] + per_term["charlie"][1],
+        2: per_term["delta"][2],
+        3: per_term["delta"][3],
+        4: per_term["omega"][4],
+        6: per_term["alpha"][6]
+        + per_term["charlie"][6]
+        + per_term["delta"][6],
+    }
+    got_map = dict(zip(got["doc_id"], got["score"]))
+    for did, s in expect.items():
+        np.testing.assert_allclose(got_map[did], s, atol=1e-9)
+
+
+def test_phrase_or_prefix_group_msm(spark, tmp_path):
+    """'"alpha charlie" OR del* ~2': the lexicon-expanded prefix group and
+    the phrase are the two SHOULD clauses; msm=2 keeps only docs matching
+    BOTH (doc 6), not phrase-only (1) or prefix-only (2, 3) docs."""
+    from tests.oracle import bm25_topk_oracle
+
+    store, cfg, pdf = _or_phrase_store(spark, tmp_path)
+    docs = pdf.rename(columns={"text": "content"})[["doc_id", "content"]]
+
+    pq = parse_query('"alpha charlie" OR del* ~2', cfg)
+    got = search_index(spark, store, pq, k=10).toPandas()
+    assert set(got["doc_id"]) == {6}
+    per_term = {
+        t: dict(
+            bm25_topk_oracle(docs, [t], k=100, op="OR", cfg=cfg)
+            .itertuples(index=False, name=None)
+        )
+        for t in ("alpha", "charlie", "delta")
+    }
+    np.testing.assert_allclose(
+        got["score"].iloc[0],
+        per_term["alpha"][6] + per_term["charlie"][6] + per_term["delta"][6],
+        atol=1e-9,
+    )
+
+
+def test_phrase_or_synonym_batch_matches_single(spark, tmp_path):
+    """The batch kernel scores the synonym-group phrase-OR query
+    identically to search_index (same clause algebra in search_many)."""
+    from fastcatsearch3_spark.plans.search import search_many
+
+    store, cfg, _ = _or_phrase_store(spark, tmp_path)
+    pq = parse_query(
+        '"alpha charlie" OR delta', cfg, synonyms={"delta": ["omega"]}
+    )
+    single = search_index(spark, store, pq, k=10).toPandas()
+    batch = search_many(
+        spark, store, {"syn_or": pq, "other": "delta"}, k=10
+    ).toPandas()
+    b = batch[batch["query_id"] == "syn_or"].reset_index(drop=True)
+    assert b["doc_id"].tolist() == single["doc_id"].tolist()
+    np.testing.assert_allclose(
+        b["score"].to_numpy(), single["score"].to_numpy(), atol=1e-9
+    )
