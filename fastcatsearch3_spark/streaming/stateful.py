@@ -68,7 +68,25 @@ def _make_first_only(ttl_ms: int | None):
     return _first_only
 
 
-def stream_exact_dedup(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+def _local_first_only(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Map-side combine for the stateful dedup: within each Arrow batch,
+    keep only the min-doc_id row per content hash. Stateless and
+    per-micro-batch, so it composes with the stateful operator (Spark
+    rejects chained stateful ops in append mode); the global min per key
+    per batch always survives a per-chunk min, so the emitted result is
+    bit-identical — only the shuffle gets lighter on duplicate-heavy
+    input."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        yield pdf.loc[
+            pdf.groupby("content_sha256", sort=False)["doc_id"].idxmin()
+        ]
+
+
+def stream_exact_dedup(
+    docs: DataFrame, ttl_ms: int | None = None, local_prededup: bool = True
+) -> DataFrame:
     """First-occurrence-only exact dedup over a streaming (doc_id, text)
     relation: emits each distinct content once — the smallest doc_id of
     its first micro-batch — and drops every later copy. Works only on a
@@ -86,10 +104,19 @@ def stream_exact_dedup(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     scheduling micro-batches (they are what fire the timeouts), so pair a
     TTL'd query with an explicit ``.trigger(processingTime=...)`` — the
     default ASAP trigger busy-loops empty batches — and don't rely on
-    ``processAllAvailable`` for quiescence in tests/ops tooling."""
+    ``processAllAvailable`` for quiescence in tests/ops tooling.
+
+    ``local_prededup`` (default on) inserts a stateless map-side combine
+    (SURVEY §12.2 remainder): each Arrow chunk keeps one min-doc_id row
+    per key before the per-key state shuffle. Output is identical — the
+    stateful operator already takes the min across what it receives —
+    but a micro-batch that is mostly copies of the same few documents
+    shuffles ~#distinct rows instead of ~#rows."""
     keyed = docs.select(
         F.sha2("text", 256).alias("content_sha256"), "doc_id", "text"
     )
+    if local_prededup:
+        keyed = keyed.mapInPandas(_local_first_only, OUT_SCHEMA)
     return keyed.groupBy("content_sha256").applyInPandasWithState(
         _make_first_only(ttl_ms),
         OUT_SCHEMA,
@@ -188,6 +215,7 @@ def stream_exact_dedup_against(
     base_hashes: DataFrame,
     bloom: dict,
     ttl_ms: int | None = None,
+    local_prededup: bool = True,
 ) -> DataFrame:
     """Streaming first-occurrence dedup AGAINST AN EXISTING CORPUS, bloom-
     fronted so the stateful shuffle sees only non-base rows (SURVEY
@@ -230,6 +258,8 @@ def stream_exact_dedup_against(
         .select("content_sha256", "doc_id", "text")
     )
     stream_in = sure_new.unionByName(fp_new)
+    if local_prededup:
+        stream_in = stream_in.mapInPandas(_local_first_only, OUT_SCHEMA)
     return stream_in.groupBy("content_sha256").applyInPandasWithState(
         _make_first_only(ttl_ms),
         OUT_SCHEMA,
@@ -268,3 +298,18 @@ def prefilter_counts(
         "base_drops": base_drops,
         "bloom_fp": bloom_fp,
     }
+
+
+def local_prededup_counts(docs: DataFrame) -> dict:
+    """Batch replay of the map-side combine's shuffle-row arithmetic for
+    evidence runs: rows a micro-batch of ``docs`` (doc_id, text) would
+    send to the per-key state shuffle with and without ``local_prededup``.
+    Returns {"total": n, "into_state": n} — into_state/total is the
+    shuffle-row ratio the combine achieves on this batch's duplicate
+    profile."""
+    keyed = docs.select(
+        F.sha2("text", 256).alias("content_sha256"), "doc_id", "text"
+    )
+    total = keyed.count()
+    into_state = keyed.mapInPandas(_local_first_only, OUT_SCHEMA).count()
+    return {"total": total, "into_state": into_state}

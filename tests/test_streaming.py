@@ -378,3 +378,73 @@ def test_stream_dedup_bloom_prefilter(spark, tmp_path):
     assert counts["base_drops"] == 160
     assert counts["into_state"] == counts["total"] - counts["base_drops"]
     assert counts["into_state"] <= 21  # novel rows only (+0 FPs here)
+
+
+def test_stream_dedup_local_prededup_parity(spark, tmp_path):
+    """The map-side combine (local_prededup) must not change WHAT is
+    emitted, only how many rows reach the state shuffle: same stream run
+    with the combine on and off emits identical rows, and the batch
+    replay shows the duplicate-heavy batch collapsing to ~#distinct."""
+    from fastcatsearch3_spark.streaming.stateful import (
+        local_prededup_counts,
+        stream_exact_dedup,
+    )
+
+    # duplicate-heavy: 3 distinct texts, 60 rows; min doc_id per text is
+    # 0, 1, 2 — and the dup copies carry LOWER ids in a later batch to
+    # prove cross-batch first-occurrence still holds under the combine
+    b0 = [(i, f"text {i % 3}") for i in range(60)]
+    b1 = [(100 + i, f"text {i % 3}") for i in range(6)] + [(200, "fresh")]
+
+    results = {}
+    for flag in (True, False):
+        src = tmp_path / f"src_{flag}"
+        src.mkdir()
+        pd.DataFrame(b0, columns=["doc_id", "text"]).to_parquet(
+            f"{src}/batch-0.parquet", index=False
+        )
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            stream_exact_dedup(stream, local_prededup=flag)
+            .writeStream.format("memory")
+            .queryName(f"prededup_{flag}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{flag}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(
+                f"{src}/batch-1.parquet", index=False
+            )
+            q.processAllAvailable()
+            results[flag] = sorted(
+                map(
+                    tuple,
+                    spark.sql(
+                        f"SELECT doc_id, text FROM prededup_{flag}"
+                    ).toPandas().to_numpy(),
+                )
+            )
+        finally:
+            q.stop()
+
+    assert results[True] == results[False]
+    assert [r[1] for r in results[True]] == [
+        "text 0", "text 1", "text 2", "fresh",
+    ]
+
+    # shuffle-row arithmetic on the duplicate-heavy batch: 60 rows in,
+    # at most #distinct × #chunks rows to the state shuffle (one Arrow
+    # chunk per partition here, so exactly one row per distinct text
+    # per partition that saw it)
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(b0, columns=["doc_id", "text"])
+    ).coalesce(2)
+    counts = local_prededup_counts(batch_df)
+    assert counts["total"] == 60
+    assert counts["into_state"] <= 6  # 3 distinct × ≤2 partitions
