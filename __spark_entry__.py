@@ -779,6 +779,23 @@ def _q_bm25_fuzzy_artifact(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25_fuzzy_prefix(spark, sf_dir):
+    # prefix-truncated SymSpell artifact (SymSpell prefixLength=4, late
+    # r4): variants generated from each term's first 4 chars bound the
+    # table at 1+P+P(P-1)/2 rows/term for any term length; the probe
+    # window is meta-driven (always matches the built layout) and
+    # candidates are exact-Levenshtein verified on FULL terms, so the
+    # expansion — and therefore the oracle — is identical to the scan
+    # path on this vocab. Dedicated tag'd index so the full-artifact
+    # entry above keeps its own store untouched.
+    from fastcatsearch3_spark.operators.fuzzy import fuzzy_index_build
+
+    store = _packed_store(spark, sf_dir, tag="fuzzyprefix")
+    fuzzy_index_build(spark, store, max_dist=2, prefix_length=4)
+    hits = search_index(spark, store, "hash~2 merge", k=_K)
+    return hits.select("doc_id", _e4())
+
+
 def _q_bm25_proximity(spark, sf_dir):
     # J-5 proximity: '"table hash"~1' — ordered window, position difference
     # in [1-slop, 1+slop]; same scoring as bm25_phrase, looser filter
@@ -1581,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _q_bm25_prefix,
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_fuzzy_artifact": _q_bm25_fuzzy_artifact,
+        "bm25_fuzzy_prefix": _q_bm25_fuzzy_prefix,
         "bm25_field": _q_bm25_field,
         "bm25_multifield": _q_bm25_multifield,
         "bm25f_topk": _q_bm25f,
@@ -3004,6 +3022,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
         # 32 — the engine's max_prefix_expansion), AND'd with "merge"
         "bm25_fuzzy": _FUZZY_SQL,
         "bm25_fuzzy_artifact": _FUZZY_SQL,
+        "bm25_fuzzy_prefix": _FUZZY_SQL,
         # post-compaction: physical == live, so the plain logical-corpus
         # BM25 oracle applies to the upserted/deleted corpus
         "incremental_compact_search": _bm25_sql(

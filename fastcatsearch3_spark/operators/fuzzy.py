@@ -25,9 +25,18 @@ never expand into a field's namespace, mirroring the scan path exactly.
 
 Scale note: artifact rows ~= Σ_terms (1 + L + L(L-1)/2) at d=2 (~30-40×
 the lexicon for code tokens). That is SymSpell's published space trade;
-probe cost is independent of vocab size. For extreme term lengths a
-prefix-truncated variant (SymSpell's prefixLength) would bound the
-blow-up at a small recall risk — not built, documented.
+probe cost is independent of vocab size. For long-token vocabs,
+``prefix_length`` (SymSpell's prefixLength) generates variants from only
+the first P characters of each term, bounding per-term variants at
+1 + P + P(P-1)/2 regardless of term length. The probe truncates the
+query stem the same way (P is recorded in meta.json, so probes always
+match the built layout) and the exact-Levenshtein verify still runs on
+FULL terms — precision stays exact; only candidate recall can drop, and
+only for pairs whose edits fall beyond/astride the prefix window
+(SymSpell's documented "negligible loss" trade; pure prefix-shifts of
+k <= d still intersect, since k leading deletions on one prefix and k
+trailing on the other meet at the shared window). Default is None =
+full-term variants = exact parity with the scan.
 """
 
 from __future__ import annotations
@@ -99,11 +108,20 @@ FUZZY_SCHEMA = "ns string, variant string, term string, df long"
 
 
 def fuzzy_index_build(
-    spark: SparkSession, store, max_dist: int = 2
+    spark: SparkSession, store, max_dist: int = 2,
+    prefix_length: int | None = None,
 ) -> str:
     """Build (or refresh) the deletion-neighborhood artifact for the
     store's CURRENT epoch. Idempotent per epoch; concurrent builders race
     on an atomic rename (loser discards). Returns the artifact dir.
+
+    ``prefix_length`` (SymSpell prefixLength, module docstring): variants
+    are generated from each payload's first P chars, bounding artifact
+    rows per term at 1 + P + P(P-1)/2 for any term length. None (default)
+    keeps full-term variants (exact scan parity). An artifact already
+    published for this epoch is reused when it can serve the request
+    (its max_dist covers the request and its window is at least as wide);
+    otherwise it is replaced.
 
     One mapInPandas pass over the lexicon: per term, emit its payload's
     deletion variants (vectorized across the partition's terms, python
@@ -113,17 +131,30 @@ def fuzzy_index_build(
     the sorted lexicon (IndexStore._lexicon_lookup_arrow)."""
     ep = store.epoch()
     out = Path(store.root, "fuzzy", ep)
-    if (out / "meta.json").exists():
-        return str(out)
+    meta_p = out / "meta.json"
+    if meta_p.exists():
+        try:
+            meta = json.loads(meta_p.read_text())
+        except Exception:  # noqa: BLE001 — unreadable → rebuild
+            meta = None
+        if meta is not None and int(meta["max_dist"]) >= int(max_dist):
+            built_p = meta.get("prefix_length")
+            if built_p is None or (
+                prefix_length is not None and int(built_p) >= int(prefix_length)
+            ):
+                return str(out)
+        shutil.rmtree(out, ignore_errors=True)
 
     d = int(max_dist)
+    plen = None if prefix_length is None else int(prefix_length)
 
     def gen(batches):
         for pdf in batches:
             ns_l, var_l, term_l, df_l = [], [], [], []
             for term, df in zip(pdf["term"], pdf["df"]):
                 ns, payload = _split_ns(str(term))
-                for v in deletion_variants(payload, d):
+                root = payload if plen is None else payload[:plen]
+                for v in deletion_variants(root, d):
                     ns_l.append(ns)
                     var_l.append(v)
                     term_l.append(term)
@@ -150,7 +181,10 @@ def fuzzy_index_build(
         .parquet(str(tmp / "data"))
     )
     (tmp / "meta.json").write_text(
-        json.dumps({"max_dist": d, "epoch": ep, "n_terms": int(n_terms)})
+        json.dumps({
+            "max_dist": d, "epoch": ep, "n_terms": int(n_terms),
+            "prefix_length": plen,
+        })
     )
     if not out.exists():
         tmp.rename(out)
@@ -163,18 +197,21 @@ def fuzzy_index_build(
     return str(out)
 
 
-def _artifact_dir(store, max_dist: int) -> Path | None:
-    """Current-epoch artifact dir if present and built for >= max_dist."""
+def _artifact_dir(store, max_dist: int) -> tuple[Path, int | None] | None:
+    """(dir, prefix_length) of the current-epoch artifact if present and
+    built for >= max_dist; None otherwise."""
     out = Path(store.root, "fuzzy", store.epoch())
-    meta = out / "meta.json"
-    if not meta.exists():
+    meta_p = out / "meta.json"
+    if not meta_p.exists():
         return None
     try:
-        if int(json.loads(meta.read_text())["max_dist"]) < max_dist:
+        meta = json.loads(meta_p.read_text())
+        if int(meta["max_dist"]) < max_dist:
             return None
+        plen = meta.get("prefix_length")
     except Exception:  # noqa: BLE001 — unreadable meta → treat as absent
         return None
-    return out
+    return out, (None if plen is None else int(plen))
 
 
 def _probe_rowgroups(
@@ -243,11 +280,15 @@ def fuzzy_expand(
     ``ns == pref AND variant IN (...)`` filter (row-group pruned — no
     Spark job, O(stem deletions) work); a Spark fallback covers exotic
     filesystems with identical results."""
-    out = _artifact_dir(store, max_dist)
-    if out is None:
+    got = _artifact_dir(store, max_dist)
+    if got is None:
         return None
+    out, plen = got
     pref, payload = _split_ns(stem)
-    variants = deletion_variants(payload, max_dist)
+    # probe with the same window the artifact was built with (meta-driven,
+    # so a prefix-truncated artifact is always probed consistently)
+    probe_root = payload if plen is None else payload[:plen]
+    variants = deletion_variants(probe_root, max_dist)
     cand: list[tuple[str, int]] | None = None
     try:
         cand = _probe_rowgroups(out / "data", pref, variants)

@@ -174,3 +174,71 @@ def test_stale_artifact_ignored(spark, store, tmp_path_factory):
     assert fuzzy_expand(spark, st3, "hash", 2, 32) is None  # stale epoch
     fuzzy_index_build(spark, st3, max_dist=2)
     assert fuzzy_expand(spark, st3, "hash", 2, 32) is not None
+
+
+# ---------------------------------------------------------------------------
+# prefix-truncated artifact (SymSpell prefixLength)
+# ---------------------------------------------------------------------------
+
+def _artifact_rows(spark, root: str):
+    import glob
+    import json as _json
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    st = IndexStore(root)
+    out = Path(root, "fuzzy", st.epoch())
+    assert (out / "meta.json").exists()
+    n = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(str(out / "data" / "*.parquet"))
+    )
+    return n, _json.loads((out / "meta.json").read_text())
+
+
+def test_prefix_truncated_artifact(spark, store, tmp_path_factory):
+    """prefix_length bounds the artifact (fewer variant rows) while the
+    meta-driven probe keeps expansions identical to the scan on this
+    lexicon; the exact-Levenshtein verify keeps precision exact by
+    construction."""
+    import shutil
+
+    root4 = str(tmp_path_factory.mktemp("fuzzy_idx_prefix"))
+    shutil.rmtree(root4)
+    shutil.copytree(store.root, root4)
+    st4 = IndexStore(root4)
+
+    full_rows, full_meta = _artifact_rows(spark, root4)
+    assert full_meta["prefix_length"] is None
+
+    # a full artifact can serve any prefix request → reuse, no rebuild
+    fuzzy_index_build(spark, st4, max_dist=2, prefix_length=4)
+    _, meta_after = _artifact_rows(spark, root4)
+    assert meta_after["prefix_length"] is None
+
+    # force a prefix build: drop the artifact, rebuild truncated
+    shutil.rmtree(f"{root4}/fuzzy")
+    fuzzy_index_build(spark, st4, max_dist=2, prefix_length=4)
+    trunc_rows, trunc_meta = _artifact_rows(spark, root4)
+    assert trunc_meta["prefix_length"] == 4
+    assert trunc_rows < full_rows  # the point: bounded blow-up
+
+    # expansion parity vs the scan on real stems (incl. >P-length ones)
+    for stem, d in [
+        ("hash", 2), ("spark", 1), ("tabel", 2), ("merg", 1),
+        ("repo:scr1", 2), ("zzzzzz", 1),
+    ]:
+        art = fuzzy_expand(spark, st4, stem, d, limit=32)
+        assert art is not None
+        scan = _scan_expand(spark, st4, stem, d, limit=32)
+        # precision is exact by construction (full-term verify); recall
+        # can in theory drop for edits astride the window — must not on
+        # this vocab
+        assert art == scan, (stem, d)
+
+    # a request the truncated artifact cannot serve (wider window)
+    # replaces it with a full build
+    fuzzy_index_build(spark, st4, max_dist=2, prefix_length=None)
+    _, meta_full_again = _artifact_rows(spark, root4)
+    assert meta_full_again["prefix_length"] is None
