@@ -372,12 +372,21 @@ def quantized_ann_topk(
     )
 
 
+def _auto_ncentroids(n_vectors: int) -> int:
+    """~sqrt(n), clamped to [4, 65536] and to n — the standard IVF sizing
+    heuristic (probe cost n/k ≈ centroid-scan cost k at k = sqrt(n))."""
+    import math
+
+    return int(max(4, min(65536, min(n_vectors, round(math.sqrt(n_vectors))))))
+
+
 def ivf_index_build(
     emb: DataFrame,
     out_dir: str,
     n_centroids: int | None = 16,
     train_iters: int = 3,
     refresh: bool = False,
+    resize_on_growth: bool = False,
 ) -> dict:
     """Persist the IVF artifact — built once per corpus epoch (like the
     search index and the MinHash band table) so query-time cost is
@@ -410,8 +419,19 @@ def ivf_index_build(
         overwrite; unchanged cid directories are untouched on disk, so an
         append that lands in a few lists costs those lists, not the
         corpus.
+      * ``resize_on_growth=True`` (with ``refresh=True``) lets the
+        geometry GROW when the corpus has outgrown it: if the sqrt(n)
+        auto-size target reaches >= 2x the inherited k, the previous
+        centroids are kept and the extra cids are seeded from appended
+        vectors (left-anti join against the previous lists, lowest
+        vec_id first — deterministic; no unseen vectors → geometry kept),
+        then Lloyd re-balances. Existing
+        clusters keep their identity (query caches keyed on cid stay
+        mostly valid); only lists whose membership actually moved are
+        rewritten. Off by default: plain refresh preserves geometry
+        exactly, and whether/when to grow is the caller's policy.
 
-    Returns {"n_centroids", "dim", "n_vectors", "refreshed",
+    Returns {"n_centroids", "dim", "n_vectors", "refreshed", "resized",
     "changed_cids"} (changed_cids is None on a full build)."""
     import json
     from pathlib import Path
@@ -419,6 +439,7 @@ def ivf_index_build(
     spark = emb.sparkSession
     n_vectors = emb.count()
     prev_cents = None
+    resized = False
     if refresh and Path(out_dir, "manifest.json").exists():
         prev = json.loads(Path(out_dir, "manifest.json").read_text())
         rows = spark.read.parquet(str(Path(out_dir) / "centroids")).collect()
@@ -429,12 +450,32 @@ def ivf_index_build(
             prev_cents = None  # geometry change → full rebuild
         else:
             n_centroids = prev["n_centroids"]
+            target = _auto_ncentroids(n_vectors)
+            if resize_on_growth and target >= 2 * n_centroids:
+                # grow the geometry in place: keep every previous
+                # centroid (cluster identity survives) and seed the new
+                # cids from vectors the previous epoch never saw
+                old_ids = spark.read.parquet(
+                    str(Path(out_dir) / "lists")
+                ).select("vec_id")
+                seeds = (
+                    emb.join(old_ids, "vec_id", "left_anti")
+                    .select("vec_id", _dvec("embedding").alias("vec"))
+                    .orderBy("vec_id")
+                    .limit(target - n_centroids)
+                    .collect()
+                )
+                # no unseen vectors (re-refresh of an already-indexed
+                # corpus) → nothing to seed from; keep the geometry — an
+                # undersized ORIGINAL build is a full-rebuild decision
+                prev_cents = prev_cents + [
+                    (n_centroids + i, list(r["vec"]))
+                    for i, r in enumerate(seeds)
+                ]
+                n_centroids += len(seeds)
+                resized = bool(seeds)
     if n_centroids is None:
-        import math
-
-        n_centroids = int(
-            max(4, min(65536, min(n_vectors, round(math.sqrt(n_vectors)))))
-        )
+        n_centroids = _auto_ncentroids(n_vectors)
     cents = kmeans_centroids(
         emb, n_centroids, iters=train_iters, init=prev_cents
     )
@@ -525,6 +566,7 @@ def ivf_index_build(
         "dim": dim,
         "n_vectors": int(n_vectors),
         "refreshed": prev_cents is not None,
+        "resized": resized,
         "changed_cids": changed_cids,
     }
 

@@ -502,3 +502,73 @@ def test_ivf_refresh_incremental(spark, tmp_path, sf_dir):
 
     n = emb.count()
     assert info2["n_centroids"] == max(4, min(n, round(math.sqrt(n))))
+
+
+def test_ivf_refresh_resize_on_growth(spark, sf_dir, tmp_path):
+    """SURVEY §12 #6: ``refresh=True, resize_on_growth=True`` grows the
+    geometry when the corpus has outgrown it (sqrt(n) target >= 2x the
+    inherited k): previous centroids keep their cids, the extra cids are
+    seeded from appended vectors, and the refreshed lists still equal the
+    full relation's assignment under the refreshed centroids."""
+    import json
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fastcatsearch3_spark.dataops.similarity import ivf_index_build
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ivf_grow")
+
+    base = emb.where(F.col("vec_id") < 60)
+    info0 = ivf_index_build(base, idx, n_centroids=None, train_iters=2)
+    k0 = info0["n_centroids"]
+    assert k0 == round(math.sqrt(60))  # 8
+
+    # resize_on_growth: 500 vectors → sqrt target 22 >= 2*8 → grow,
+    # extra cids seeded from the appended (previously-unseen) vectors
+    info1 = ivf_index_build(
+        emb, idx, n_centroids=None, train_iters=1,
+        refresh=True, resize_on_growth=True,
+    )
+    n = emb.count()
+    target = max(4, min(n, round(math.sqrt(n))))
+    assert info1["resized"] is True and info1["refreshed"] is True
+    assert info1["n_centroids"] == target
+    manifest = json.loads(open(f"{idx}/manifest.json").read())
+    assert manifest["n_centroids"] == target
+
+    # correctness invariant: on-disk lists == the full relation's
+    # cosine-argmax assignment under the refreshed centroids
+    cents = {
+        int(r["cid"]): list(r["cvec"])
+        for r in spark.read.parquet(f"{idx}/centroids").collect()
+    }
+    assert len(cents) == target
+    lists = {
+        int(r["vec_id"]): int(r["cid"])
+        for r in spark.read.parquet(f"{idx}/lists").collect()
+    }
+    rows = emb.collect()
+    assert len(lists) == len(rows)
+    order = sorted(cents)
+    cm = np.array([cents[c] for c in order])
+    cm_n = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    for r in rows:
+        v = np.array(list(r["embedding"]), dtype=float)
+        sims = cm_n @ (v / np.linalg.norm(v))
+        want = int(np.argmax(np.round(sims, 12)))  # ties → lowest cid
+        assert lists[int(r["vec_id"])] == order[want]
+
+    # plain refresh inherits the grown geometry; a further resize
+    # refresh is below the growth threshold → no-op on k
+    info_plain = ivf_index_build(
+        emb, idx, n_centroids=None, train_iters=1, refresh=True
+    )
+    assert info_plain["n_centroids"] == target and not info_plain["resized"]
+    info2 = ivf_index_build(
+        emb, idx, n_centroids=None, train_iters=1,
+        refresh=True, resize_on_growth=True,
+    )
+    assert info2["n_centroids"] == target and not info2["resized"]
