@@ -212,3 +212,26 @@ def test_lexicon_arrow_lookup_matches_spark(spark, store):
     assert {t: d for t, d in direct.items() if d is not None} == {
         t: via_arrow[t] for t in direct if t in via_arrow
     }
+
+
+def test_hot_term_skew_bound(spark, store):
+    """North-rule skew evidence, asserted not just documented: the
+    (shard, term) repartition splits a Zipf-hot term's postings across
+    ALL shards, so no pack task (and no serving-side posting decode)
+    ever holds more than ~1/num_shards of a hot term. With doc_id-hash
+    sharding over hundreds of docs each shard's share is binomial around
+    1/num_shards; 2x is a generous variance bound."""
+    post = spark.read.parquet(f"{store.root}/postings")
+    hot = post.where(F.col("term") == "the").select("shard", "df").collect()
+    dfs = {int(r["shard"]): int(r["df"]) for r in hot}
+    # one packed row per shard, every shard carries a slice
+    assert set(dfs) == set(range(CFG.num_shards))
+    total = sum(dfs.values())
+    lex = {
+        r["term"]: int(r["df"])
+        for r in spark.read.parquet(f"{store.root}/lexicon")
+        .where(F.col("term") == "the")
+        .collect()
+    }
+    assert total == lex["the"]  # shard slices partition the posting list
+    assert max(dfs.values()) <= 2 * total / CFG.num_shards
