@@ -419,8 +419,10 @@ def ivf_index_build(
         overwrite; unchanged cid directories are untouched on disk, so an
         append that lands in a few lists costs those lists, not the
         corpus.
-      * ``resize_on_growth=True`` (with ``refresh=True``) lets the
-        geometry GROW when the corpus has outgrown it: if the sqrt(n)
+      * ``resize_on_growth=True`` (with ``refresh=True`` and
+        ``n_centroids=None`` — an explicitly pinned k is never grown)
+        lets the geometry GROW when the corpus has outgrown it: if the
+        sqrt(n)
         auto-size target reaches >= 2x the inherited k, the previous
         centroids are kept and the extra cids are seeded from appended
         vectors (left-anti join against the previous lists, lowest
@@ -440,6 +442,7 @@ def ivf_index_build(
     n_vectors = emb.count()
     prev_cents = None
     resized = False
+    sizing_delegated = n_centroids is None  # growth only when auto-sized
     if refresh and Path(out_dir, "manifest.json").exists():
         prev = json.loads(Path(out_dir, "manifest.json").read_text())
         rows = spark.read.parquet(str(Path(out_dir) / "centroids")).collect()
@@ -451,7 +454,11 @@ def ivf_index_build(
         else:
             n_centroids = prev["n_centroids"]
             target = _auto_ncentroids(n_vectors)
-            if resize_on_growth and target >= 2 * n_centroids:
+            if (
+                resize_on_growth
+                and sizing_delegated
+                and target >= 2 * n_centroids
+            ):
                 # grow the geometry in place: keep every previous
                 # centroid (cluster identity survives) and seed the new
                 # cids from vectors the previous epoch never saw
