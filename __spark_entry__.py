@@ -756,6 +756,26 @@ def _q_bm25_prefix(spark, sf_dir):  # P-4 as a search clause: "s*" expands
     return hits.select("doc_id", _e4())
 
 
+def _q_bm25_wildcard(spark, sf_dir):  # Lucene WildcardQuery: "s?a*" — '?'
+    # is exactly one char, '*' any run; the pattern full-matches analyzed
+    # lexicon terms ({scan, small, spark} at this sf) and becomes ONE
+    # synonym-style group AND'd with "merge". The lexicon scan is bounded
+    # by the pattern's literal leading run (pushed StartsWith on the
+    # sorted term column) before the anchored rlike.
+    store = _packed_store(spark, sf_dir)
+    hits = search_index(spark, store, "s?a* merge", k=_K)
+    return hits.select("doc_id", _e4())
+
+
+def _q_bm25_regex(spark, sf_dir):  # Lucene RegexpQuery: "/.*ow/" — the
+    # pattern full-matches analyzed lexicon terms ({row, slow, window} at
+    # this sf) inside the field namespace; a leading wildcard degrades to
+    # one pass over the vocab-sized (<< postings) lexicon, never postings
+    store = _packed_store(spark, sf_dir)
+    hits = search_index(spark, store, "/.*ow/ merge", k=_K)
+    return hits.select("doc_id", _e4())
+
+
 def _q_bm25_fuzzy(spark, sf_dir):  # Lucene-style fuzzy term: "hash~2"
     # expands against the lexicon into a synonym-style group of terms
     # within Levenshtein 2 ({hash, fast} at this sf — dist asc, df desc,
@@ -1577,9 +1597,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tf_cjk_bigrams, filter_range, facet_topn, window_lag); displaced
     # entries (bm25_boost, bm25_msm, search_paging, source_json, doclens,
     # pii_scrub, sample_stratified, mixture_weights, pack_sequences) are
-    # all driver-green in CORRECTNESS_r03. The full self-run over ALL
-    # entries is committed per-round as BENCH/DRIVER_CHECK_r{N}.txt
-    # (scripts/driver_check.py).
+    # all driver-green in CORRECTNESS_r03. Late-r4 rotation: the new
+    # wildcard/regex term queries (bm25_wildcard, bm25_regex) enter the
+    # window; bm25_synonyms and search_facet (both driver-green in r03)
+    # rotate out. The full self-run over ALL entries is committed
+    # per-round as BENCH/DRIVER_CHECK_r{N}.txt (scripts/driver_check.py).
     return {
         # ---- driver-checked window (first 50; see NOTE above) ----
         "corpus_sha256": _q_corpus_sha256,
@@ -1588,7 +1610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_packed_and": _q_bm25_packed_and,
         "bm25_packed_not": _q_bm25_packed_not,
         "bm25_or": _q_bm25_or,
-        "bm25_synonyms": _q_bm25_synonyms,
         "index_stats": _q_index_stats,
         "bm25_phrase": _q_bm25_phrase,
         "bm25_proximity": _q_bm25_proximity,
@@ -1599,6 +1620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_fuzzy_artifact": _q_bm25_fuzzy_artifact,
         "bm25_fuzzy_prefix": _q_bm25_fuzzy_prefix,
+        "bm25_wildcard": _q_bm25_wildcard,
+        "bm25_regex": _q_bm25_regex,
         "bm25_field": _q_bm25_field,
         "bm25_multifield": _q_bm25_multifield,
         "bm25f_topk": _q_bm25f,
@@ -1608,7 +1631,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collections": _q_search_collections,
         "search_batch": _q_search_batch,
         "search_collapse": _q_search_collapse,
-        "search_facet": _q_search_facet,
         "search_facet_range": _q_search_facet_range,
         "more_like_this": _q_more_like_this,
         "spell_suggest": _q_spell_suggest,
@@ -1637,6 +1659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------- end of driver-checked window -------------------
         # (all driver-green in r03 or judge-green; rotated out to make room
         # for r4's new entries + never-checked tail rotations)
+        "bm25_synonyms": _q_bm25_synonyms,
+        "search_facet": _q_search_facet,
         "bm25_boost": _q_bm25_boost,
         "bm25_msm": _q_bm25_msm,
         "search_paging": _q_search_paging,
@@ -2999,6 +3023,61 @@ dl AS ({_DL}),
 stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
 qterms AS (
   SELECT term, 0 AS grp FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 's%')
+  UNION ALL
+  SELECT 'merge' AS term, 1 AS grp
+),
+qtf AS (SELECT t.doc_id, t.term, t.tf, q.grp
+        FROM tf t JOIN qterms q ON t.term = q.term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.grp,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score,
+               count(DISTINCT grp) AS ng FROM scored GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM agg WHERE ng = 2
+ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # wildcard term "s?a*" = one group of every matching lexicon term
+        # ('?' → one char, '*' → any run; {scan, small, spark} here, df-
+        # capped at 32 — no truncation), AND'd with merge
+        "bm25_wildcard": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qterms AS (
+  SELECT term, 0 AS grp FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 's_a%')
+  UNION ALL
+  SELECT 'merge' AS term, 1 AS grp
+),
+qtf AS (SELECT t.doc_id, t.term, t.tf, q.grp
+        FROM tf t JOIN qterms q ON t.term = q.term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.grp,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score,
+               count(DISTINCT grp) AS ng FROM scored GROUP BY doc_id)
+SELECT doc_id, CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM agg WHERE ng = 2
+ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # regex term "/.*ow/" = one group of every lexicon term the
+        # anchored pattern full-matches ({row, slow, window} here),
+        # AND'd with merge
+        "bm25_regex": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qterms AS (
+  SELECT term, 0 AS grp FROM
+    (SELECT DISTINCT term FROM tf WHERE regexp_full_match(term, '.*ow'))
   UNION ALL
   SELECT 'merge' AS term, 1 AS grp
 ),

@@ -268,6 +268,92 @@ def _fuzzy_suffix(w: str) -> tuple[str, int] | None:
     return w[: m.start()], d
 
 
+def _regex_placeholder(w: str, cfg: "EngineConfig") -> str | None:
+    """``/pat/`` / ``field:/pat/`` → regex placeholder term key
+    (``pref + "/pat/"``); None when the word carries no regex marker.
+    Lucene RegexpQuery semantics: the pattern is matched FULLY against
+    analyzed lexicon terms (which are lowercase), is itself never run
+    through the analyzer, and an uncompilable pattern raises."""
+    import re
+
+    m = re.fullmatch(r"(?:([^:/]+):)?/(.+)/", w)
+    if m is None:
+        return None
+    fld, pat = m.group(1), m.group(2)
+    try:
+        re.compile(pat)
+    except re.error as e:
+        raise ValueError(f"bad regex term {w!r}: {e}") from None
+    pref = ""
+    if fld is not None:
+        if fld not in cfg.indexed_fields:
+            raise ValueError(
+                f"unknown search field {fld!r} (indexed: {cfg.indexed_fields})"
+            )
+        pref = "" if fld == "content" else f"{fld}:"
+    return f"{pref}/{pat}/"
+
+
+def _wildcard_placeholder(w: str, cfg: "EngineConfig") -> str | None:
+    """``d?ta*`` / ``field:d*ta`` → wildcard placeholder term key (the
+    lowercased pattern, field-qualified); None when the word is not a
+    general wildcard. A single TRAILING ``*`` stays on the prefix fast
+    path (arrow range scan) and returns None here. Lucene WildcardQuery
+    semantics: the pattern matches whole analyzed lexicon terms and is
+    never analyzer-split — only lowercased to meet the analyzer's
+    normalization. A pattern with no literal character (``*``, ``?*``)
+    would match the entire lexicon and raises instead."""
+    if "*" not in w and "?" not in w:
+        return None
+    body = w
+    pref = ""
+    if ":" in w:
+        fld, rest = w.split(":", 1)
+        if fld and rest and "*" not in fld and "?" not in fld:
+            if fld not in cfg.indexed_fields:
+                raise ValueError(
+                    f"unknown search field {fld!r} (indexed: "
+                    f"{cfg.indexed_fields})"
+                )
+            pref = "" if fld == "content" else f"{fld}:"
+            body = rest
+        elif "*" in fld or "?" in fld:
+            raise ValueError(f"wildcard term {w!r} cannot span fields")
+    if "?" not in body and body.count("*") == 1 and body.endswith("*"):
+        return None  # plain prefix — existing fast path
+    if ":" in body:
+        raise ValueError(f"wildcard term {w!r} cannot span fields")
+    literal = body.replace("*", "").replace("?", "")
+    if not literal:
+        raise ValueError(
+            f"wildcard term {w!r} has no literal character (would match "
+            "the whole lexicon)"
+        )
+    if _fuzzy_suffix(body) is not None:
+        raise ValueError(
+            f"cannot combine wildcard and fuzzy markers in {w!r}"
+        )
+    return pref + body.lower()
+
+
+def placeholder_kind(term: str) -> str | None:
+    """Classify an analyzed term key as a multi-term placeholder the
+    lexicon must expand: 'regex' (``/pat/``), 'fuzzy' (``stem~d``),
+    'wildcard' (``d?ta``, ``d*ta``, ``da*ta*``), 'prefix' (``da*``) —
+    or None for a plain term. Single detection point shared by the
+    parser, the single-query path, and the batch kernel."""
+    payload = term.rsplit(":", 1)[-1]
+    if payload.startswith("/") and payload.endswith("/") and len(payload) > 2:
+        return "regex"
+    if _fuzzy_suffix(term) is not None:
+        return "fuzzy"
+    if "?" in term or ("*" in term and not term.endswith("*")):
+        return "wildcard"
+    if term.endswith("*") and len(term) > 1:
+        return "wildcard" if term.count("*") > 1 else "prefix"
+    return None
+
+
 def _split_boost(w: str) -> tuple[str, float | None]:
     """Strip a trailing caret boost: "spark^2.5" → ("spark", 2.5)."""
     import re as _re
@@ -315,6 +401,12 @@ def _word_node(
             boosts_out[term] = max(boost, boosts_out.get(term, 0.0))
         return term
 
+    rx = _regex_placeholder(w, cfg)
+    if rx is not None:
+        return Node("term", term=note(rx))
+    wc = _wildcard_placeholder(w, cfg)
+    if wc is not None:
+        return Node("term", term=note(wc))
     if w.endswith("*") and len(w) > 1:
         pref, toks = _analyze_word(w[:-1], cfg)
         if len(toks) != 1:
@@ -553,6 +645,20 @@ def parse_query(
                 boosts[term] = max(boost, boosts.get(term, 0.0))
             return term
 
+        rx = _regex_placeholder(w, cfg)
+        wc = None if rx is not None else _wildcard_placeholder(w, cfg)
+        if rx is not None or wc is not None:
+            # regex ("/pat/") or general wildcard ("d?ta*") term →
+            # placeholder kept in the term list; search_index expands it
+            # against the lexicon into a synonym-style group exactly like
+            # a prefix placeholder (Lucene MultiTermQuery family).
+            terms.append(note(rx if rx is not None else wc))
+            groups.append(gid)
+            gid += 1
+            has_prefix = True
+            if wi >= n_phrase_words:
+                free_src.update(terms[terms_before:])
+            continue
         if w.endswith("*") and len(w) > 1:
             # prefix (wildcard) term: "spar*" → placeholder "spar*" kept in
             # the term list; search_index expands it against the lexicon
@@ -606,6 +712,12 @@ def parse_query(
     nterms: list[str] = []
     for w in neg_words:
         w, _ = _split_boost(w)  # a boost on a NOT clause is meaningless
+        if _regex_placeholder(w, cfg) is not None:
+            raise ValueError("regex terms are not supported in NOT clauses")
+        if _wildcard_placeholder(w, cfg) is not None:
+            raise ValueError(
+                "wildcard terms are not supported in NOT clauses"
+            )
         if w.endswith("*") and len(w) > 1:
             raise ValueError("prefix terms are not supported in NOT clauses")
         if _fuzzy_suffix(w) is not None:

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass as _dataclass
 
+import re as _re
+
 import numpy as np
 import pandas as pd
 
@@ -191,6 +193,40 @@ def _make_kernel(
     return grouped
 
 
+def _wildcard_to_regex(pat: str) -> tuple[str, str]:
+    """Wildcard pattern → (anchored-safe Java regex body, literal leading
+    run usable as a pushed StartsWith bound). ``*`` spans any run, ``?``
+    exactly one char; every other character is matched literally."""
+    out: list[str] = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    lead = pat.split("*", 1)[0].split("?", 1)[0]
+    return "".join(out), lead
+
+
+def _regex_literal_prefix(rx: str) -> str:
+    """Longest leading literal run of a regex usable as a pushed
+    StartsWith bound on the sorted lexicon (conservative: stops at the
+    first metacharacter, and surrenders the previous char when the
+    metachar is a quantifier that makes it optional/repeatable)."""
+    if "|" in rx:
+        return ""  # top-level alternation may bypass any leading literal
+    meta = set(".^$*+?{}[]|()\\")
+    lead: list[str] = []
+    for i, ch in enumerate(rx):
+        if ch in meta:
+            if ch in "*?{" and lead:
+                lead.pop()  # quantifier binds the previous literal
+            break
+        lead.append(ch)
+    return "".join(lead)
+
+
 def _expand_prefixes(
     spark: SparkSession, store, pq: ParsedQuery, cfg: EngineConfig
 ) -> ParsedQuery | None:
@@ -204,18 +240,60 @@ def _expand_prefixes(
     ``cfg.max_prefix_expansion`` keeping highest-df terms (deterministic
     tie-break on term). Returns None when an AND-required prefix matches
     nothing (the whole query can't match)."""
-    from fastcatsearch3_spark.plans.query import _fuzzy_suffix
+    from fastcatsearch3_spark.plans.query import (
+        _fuzzy_suffix,
+        placeholder_kind,
+    )
 
     placeholders = [
-        t
-        for t in pq.terms + pq.not_terms
-        if t.endswith("*") or _fuzzy_suffix(t) is not None
+        t for t in pq.terms + pq.not_terms if placeholder_kind(t) is not None
     ]
     if not placeholders:
         return pq
     lexdf = None
     expansions: dict[str, list[str]] = {}
     for ph in placeholders:
+        kind = placeholder_kind(ph)
+        if kind in ("wildcard", "regex"):
+            # general wildcard ("d?ta*") / regex ("/d.ta/") term: the
+            # pattern full-matches analyzed lexicon terms inside its
+            # field namespace (Lucene MultiTermQuery rewrite). The scan
+            # is namespace-restricted and, when the pattern opens with a
+            # literal run, prefix-bounded by a pushed StartsWith — so at
+            # cluster scale it reads the same handful of sorted-lexicon
+            # row groups a prefix term does; a leading wildcard degrades
+            # to one full pass over the vocab-sized (≪ postings) lexicon.
+            # Ranked df desc / term asc, capped like every expansion.
+            if kind == "regex":
+                m = _re.fullmatch(r"(?:([^:/]+):)?(/.+/)", ph)
+                pref = f"{m.group(1)}:" if m.group(1) else ""
+                pat = m.group(2)
+                rx = pat[1:-1]
+                lead = _regex_literal_prefix(rx)
+            else:
+                pref, pat = (
+                    (ph.split(":", 1)[0] + ":", ph.split(":", 1)[1])
+                    if ":" in ph
+                    else ("", ph)
+                )
+                rx, lead = _wildcard_to_regex(pat)
+            lex = store.lexicon(spark)
+            if pref:
+                lex = lex.where(F.col("term").startswith(pref))
+            else:
+                lex = lex.where(~F.col("term").contains(":"))
+            payload = F.expr(f"substring(term, {len(pref) + 1})")
+            if lead:
+                lex = lex.where(F.col("term").startswith(pref + lead))
+            rows = (
+                lex.where(payload.rlike(f"^(?:{rx})$"))
+                .select("term", "df")
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(cfg.max_prefix_expansion)
+                .collect()
+            )
+            expansions[ph] = [r["term"] for r in rows]
+            continue
         fz = _fuzzy_suffix(ph)
         if fz is not None:
             # fuzzy placeholder: lexicon terms within Levenshtein d of the
@@ -295,9 +373,7 @@ def _expand_prefixes(
         )
 
         def repl(n: Node) -> Node:
-            if n.kind == "term" and (
-                n.term.endswith("*") or _fuzzy_suffix(n.term) is not None
-            ):
+            if n.kind == "term" and placeholder_kind(n.term) is not None:
                 reps = expansions.get(n.term, [])
                 if not reps:
                     return Node("false")
