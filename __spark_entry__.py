@@ -756,6 +756,24 @@ def _q_bm25_prefix(spark, sf_dir):  # P-4 as a search clause: "s*" expands
     return hits.select("doc_id", _e4())
 
 
+def _q_index_fsck(spark, sf_dir):
+    # distributed index integrity audit (operators/fsck.py): ONE
+    # mapInPandas pass fully decodes every posting blob with the serving
+    # kernels and re-derives (term, df, cf); equality with the DuckDB
+    # tokenization oracle proves the blobs ⇔ lexicon ⇔ corpus chain end
+    # to end. The full report (structure/stats/blob invariants/docmap
+    # ranges/sha256) is pinned by tests/test_fsck.py incl. corruption
+    # detection.
+    from fastcatsearch3_spark.operators.fsck import recomputed_lexicon
+
+    store = _packed_store(spark, sf_dir)
+    return recomputed_lexicon(spark, store).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
+
+
 def _q_bm25_wildcard(spark, sf_dir):  # Lucene WildcardQuery: "s?a*" — '?'
     # is exactly one char, '*' any run; the pattern full-matches analyzed
     # lexicon terms ({scan, small, spark} at this sf) and becomes ONE
@@ -1598,10 +1616,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries (bm25_boost, bm25_msm, search_paging, source_json, doclens,
     # pii_scrub, sample_stratified, mixture_weights, pack_sequences) are
     # all driver-green in CORRECTNESS_r03. Late-r4 rotation: the new
-    # wildcard/regex term queries (bm25_wildcard, bm25_regex) enter the
-    # window; bm25_synonyms and search_facet (both driver-green in r03)
-    # rotate out. The full self-run over ALL entries is committed
-    # per-round as BENCH/DRIVER_CHECK_r{N}.txt (scripts/driver_check.py).
+    # wildcard/regex term queries (bm25_wildcard, bm25_regex) and the
+    # integrity audit (index_fsck) enter the window; bm25_synonyms,
+    # search_facet, and source_csv (all driver-green in r03) rotate out.
+    # The full self-run over ALL entries is committed per-round as
+    # BENCH/DRIVER_CHECK_r{N}.txt (scripts/driver_check.py).
     return {
         # ---- driver-checked window (first 50; see NOTE above) ----
         "corpus_sha256": _q_corpus_sha256,
@@ -1639,8 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "incremental_search": _q_incremental_search,
         "incremental_compact_search": _q_incremental_compact_search,
-        "source_csv": _q_source_csv,
         "source_jdbc": _q_source_jdbc,
+        "index_fsck": _q_index_fsck,
         "stream_window": _q_stream_window,
         "session_window": _q_session_window,
         "popular_keywords": _q_popular_keywords,
@@ -1661,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for r4's new entries + never-checked tail rotations)
         "bm25_synonyms": _q_bm25_synonyms,
         "search_facet": _q_search_facet,
+        "source_csv": _q_source_csv,
         "bm25_boost": _q_bm25_boost,
         "bm25_msm": _q_bm25_msm,
         "search_paging": _q_search_paging,
@@ -2262,6 +2282,10 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(sum(tf) AS BIGINT) AS cf FROM ({_TF}) GROUP BY term"
         ),
         "doclens": _DL,
+        "index_fsck": (
+            f"SELECT term, CAST(count(*) AS BIGINT) AS df,"
+            f" CAST(sum(tf) AS BIGINT) AS cf FROM ({_TF}) GROUP BY term"
+        ),
         "corpus_sha256": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
         "bm25_and": _bm25_sql(_Q_AND, "AND", _K),
         "bm25_or": _bm25_sql(_Q_OR, "OR", _K),
