@@ -229,6 +229,45 @@ class IndexStore:
         except Exception:  # noqa: BLE001 — any reader failure → Spark path
             return None
 
+    def pattern_df_arrow(
+        self, pref: str, lead: str, fullmatch, limit: int
+    ) -> list[str] | None:
+        """Wildcard expansion against the lexicon WITHOUT a Spark job:
+        the same pruned driver-side range scan as ``prefix_df_arrow``
+        over ``[pref+lead, successor)`` (``lead`` = the pattern's literal
+        leading run), then ``fullmatch`` (a compiled-regex ``fullmatch``
+        bound) filters the candidate payloads in Python — candidate
+        volume is the LEAD's range, already row-group-pruned, not the
+        vocab. Returns terms ordered (df desc, term asc) capped at
+        ``limit``; None → caller falls back to the Spark scan. Only the
+        wildcard-translated regex dialect takes this path (identical
+        semantics in Python and the JVM); user regexes keep Java
+        semantics on the Spark path."""
+        lo = pref + lead
+        if not lo or lo[-1] >= "\U0010ffff":
+            return None
+        try:
+            import pyarrow.dataset as pds
+
+            succ = lo[:-1] + chr(ord(lo[-1]) + 1)
+            tbl = pds.dataset(self._p("lexicon"), format="parquet").to_table(
+                columns=["term", "df"],
+                filter=(pds.field("term") >= lo) & (pds.field("term") < succ),
+            )
+            npref = len(pref)
+            rows = [
+                (t, d)
+                for t, d in zip(
+                    tbl.column("term").to_pylist(),
+                    tbl.column("df").to_pylist(),
+                )
+                if (npref or ":" not in t) and fullmatch(t[npref:])
+            ]
+            rows.sort(key=lambda r: (-r[1], r[0]))
+            return [t for t, _ in rows[:limit]]
+        except Exception:  # noqa: BLE001 — any reader failure → Spark path
+            return None
+
     def _deletes_listing(self) -> str:
         """Sorted name:size listing of the deletes parts — the mutable
         half of the epoch (deletes are append-mode parquet parts, so any

@@ -227,6 +227,63 @@ def _regex_literal_prefix(rx: str) -> str:
     return "".join(lead)
 
 
+def expand_pattern(
+    spark: SparkSession,
+    store,
+    ph: str,
+    kind: str,
+    cap: int,
+    prefix_bound: bool = True,
+) -> list[str]:
+    """Expand a wildcard ("d?ta*") or regex ("/d.ta/") placeholder against
+    the lexicon (Lucene MultiTermQuery rewrite): the pattern full-matches
+    analyzed lexicon terms inside its field namespace. The scan is
+    namespace-restricted and, when the pattern opens with a literal run,
+    prefix-bounded by a pushed StartsWith on the sorted term column — at
+    cluster scale it reads the same handful of row groups a prefix term
+    does; a leading wildcard degrades to one full pass over the
+    vocab-sized (≪ postings) lexicon, never postings. Ranked df desc /
+    term asc, capped at ``cap``. ``prefix_bound=False`` disables the
+    StartsWith bound (A/B harness: scripts/bench_wildcard_ab.py)."""
+    if kind == "regex":
+        m = _re.fullmatch(r"(?:([^:/]+):)?(/.+/)", ph)
+        pref = f"{m.group(1)}:" if m.group(1) else ""
+        rx = m.group(2)[1:-1]
+        lead = _regex_literal_prefix(rx)
+    else:
+        pref, pat = (
+            (ph.split(":", 1)[0] + ":", ph.split(":", 1)[1])
+            if ":" in ph
+            else ("", ph)
+        )
+        rx, lead = _wildcard_to_regex(pat)
+        if lead and prefix_bound:
+            # driver-side pruned range scan (no Spark job), same fast
+            # path as prefix terms; the translated-wildcard regex
+            # dialect is engine-identical in Python and the JVM
+            got = store.pattern_df_arrow(
+                pref, lead, _re.compile(rx).fullmatch, cap
+            )
+            if got is not None:
+                return got
+    lex = store.lexicon(spark)
+    if pref:
+        lex = lex.where(F.col("term").startswith(pref))
+    else:
+        lex = lex.where(~F.col("term").contains(":"))
+    payload = F.expr(f"substring(term, {len(pref) + 1})")
+    if lead and prefix_bound:
+        lex = lex.where(F.col("term").startswith(pref + lead))
+    rows = (
+        lex.where(payload.rlike(f"^(?:{rx})$"))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(cap)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
 def _expand_prefixes(
     spark: SparkSession, store, pq: ParsedQuery, cfg: EngineConfig
 ) -> ParsedQuery | None:
@@ -255,44 +312,9 @@ def _expand_prefixes(
     for ph in placeholders:
         kind = placeholder_kind(ph)
         if kind in ("wildcard", "regex"):
-            # general wildcard ("d?ta*") / regex ("/d.ta/") term: the
-            # pattern full-matches analyzed lexicon terms inside its
-            # field namespace (Lucene MultiTermQuery rewrite). The scan
-            # is namespace-restricted and, when the pattern opens with a
-            # literal run, prefix-bounded by a pushed StartsWith — so at
-            # cluster scale it reads the same handful of sorted-lexicon
-            # row groups a prefix term does; a leading wildcard degrades
-            # to one full pass over the vocab-sized (≪ postings) lexicon.
-            # Ranked df desc / term asc, capped like every expansion.
-            if kind == "regex":
-                m = _re.fullmatch(r"(?:([^:/]+):)?(/.+/)", ph)
-                pref = f"{m.group(1)}:" if m.group(1) else ""
-                pat = m.group(2)
-                rx = pat[1:-1]
-                lead = _regex_literal_prefix(rx)
-            else:
-                pref, pat = (
-                    (ph.split(":", 1)[0] + ":", ph.split(":", 1)[1])
-                    if ":" in ph
-                    else ("", ph)
-                )
-                rx, lead = _wildcard_to_regex(pat)
-            lex = store.lexicon(spark)
-            if pref:
-                lex = lex.where(F.col("term").startswith(pref))
-            else:
-                lex = lex.where(~F.col("term").contains(":"))
-            payload = F.expr(f"substring(term, {len(pref) + 1})")
-            if lead:
-                lex = lex.where(F.col("term").startswith(pref + lead))
-            rows = (
-                lex.where(payload.rlike(f"^(?:{rx})$"))
-                .select("term", "df")
-                .orderBy(F.desc("df"), F.asc("term"))
-                .limit(cfg.max_prefix_expansion)
-                .collect()
+            expansions[ph] = expand_pattern(
+                spark, store, ph, kind, cfg.max_prefix_expansion
             )
-            expansions[ph] = [r["term"] for r in rows]
             continue
         fz = _fuzzy_suffix(ph)
         if fz is not None:
