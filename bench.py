@@ -301,6 +301,19 @@ def main() -> None:
             "repo", k=8, per_group=2, corpus_df=corpus,
         ).collect()
         timings["q_collapse"] = round(time.monotonic() - t0, 3)
+        # wildcard MultiTermQuery: literal-lead probe (no Spark job) +
+        # group-scored search (BENCH/WILDCARD_AB_r04.md)
+        t0 = time.monotonic()
+        search_index(spark, store, "s?a* merge", k=10).collect()
+        timings["q_wildcard"] = round(time.monotonic() - t0, 3)
+
+        # --- integrity audit (operators/fsck.py) -----------------------
+        from fastcatsearch3_spark.operators.fsck import fsck_index
+
+        t0 = time.monotonic()
+        fsck_report = fsck_index(spark, store)
+        timings["index_fsck"] = round(time.monotonic() - t0, 3)
+        assert fsck_report["ok"], fsck_report
 
         # --- text/multimodal pipeline ops ------------------------------
         from fastcatsearch3_spark.dataops import multimodal as MMOD
