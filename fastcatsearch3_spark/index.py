@@ -197,53 +197,16 @@ class IndexStore:
         except Exception:  # noqa: BLE001 — any reader failure → Spark path
             return None
 
-    def prefix_df_arrow(
-        self, prefix: str, limit: int
+    def _lexicon_range_arrow(
+        self, lo: str, keep
     ) -> list[tuple[str, int]] | None:
-        """Prefix expansion against the lexicon WITHOUT a Spark job: the
-        sorted lexicon parquet is range-scanned driver-side with
-        ``prefix <= term < successor(prefix)`` (the exact startswith
-        interval — successor increments the last code point), so parquet
-        min/max statistics prune to the few row groups holding the prefix
-        range. Returns (term, df) rows ordered (df desc, term asc) capped
-        at ``limit``; None → caller falls back to the Spark scan."""
-        if not prefix or prefix[-1] >= "\U0010ffff":
-            return None
-        try:
-            import pyarrow.dataset as pds
-
-            succ = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-            tbl = pds.dataset(self._p("lexicon"), format="parquet").to_table(
-                columns=["term", "df"],
-                filter=(pds.field("term") >= prefix)
-                & (pds.field("term") < succ),
-            )
-            rows = sorted(
-                zip(
-                    tbl.column("term").to_pylist(),
-                    tbl.column("df").to_pylist(),
-                ),
-                key=lambda r: (-r[1], r[0]),
-            )
-            return rows[:limit]
-        except Exception:  # noqa: BLE001 — any reader failure → Spark path
-            return None
-
-    def pattern_df_arrow(
-        self, pref: str, lead: str, fullmatch, limit: int
-    ) -> list[str] | None:
-        """Wildcard expansion against the lexicon WITHOUT a Spark job:
-        the same pruned driver-side range scan as ``prefix_df_arrow``
-        over ``[pref+lead, successor)`` (``lead`` = the pattern's literal
-        leading run), then ``fullmatch`` (a compiled-regex ``fullmatch``
-        bound) filters the candidate payloads in Python — candidate
-        volume is the LEAD's range, already row-group-pruned, not the
-        vocab. Returns terms ordered (df desc, term asc) capped at
-        ``limit``; None → caller falls back to the Spark scan. Only the
-        wildcard-translated regex dialect takes this path (identical
-        semantics in Python and the JVM); user regexes keep Java
-        semantics on the Spark path."""
-        lo = pref + lead
+        """Driver-side pruned range scan of the sorted lexicon (no Spark
+        job): ``lo <= term < successor(lo)`` — the exact startswith
+        interval; successor increments the last code point — so parquet
+        min/max statistics prune to the few row groups holding the
+        range. ``keep(term)`` filters candidates. Returns (term, df)
+        rows ordered (df desc, term asc); None → caller falls back to
+        the Spark scan. Shared by the prefix and wildcard probes."""
         if not lo or lo[-1] >= "\U0010ffff":
             return None
         try:
@@ -254,19 +217,54 @@ class IndexStore:
                 columns=["term", "df"],
                 filter=(pds.field("term") >= lo) & (pds.field("term") < succ),
             )
-            npref = len(pref)
             rows = [
                 (t, d)
                 for t, d in zip(
                     tbl.column("term").to_pylist(),
                     tbl.column("df").to_pylist(),
                 )
-                if (npref or ":" not in t) and fullmatch(t[npref:])
+                if keep(t)
             ]
             rows.sort(key=lambda r: (-r[1], r[0]))
-            return [t for t, _ in rows[:limit]]
+            return rows
         except Exception:  # noqa: BLE001 — any reader failure → Spark path
             return None
+
+    def prefix_df_arrow(
+        self, prefix: str, limit: int
+    ) -> list[tuple[str, int]] | None:
+        """Prefix expansion against the lexicon WITHOUT a Spark job (see
+        ``_lexicon_range_arrow``). An UNQUALIFIED prefix (no ':') must
+        never expand into another field's namespace — analyzer tokens
+        cannot contain ':', so ':'-bearing keys are field-qualified and
+        are excluded; a field-qualified prefix scans only its own
+        namespace by construction. Returns (term, df) rows ordered
+        (df desc, term asc) capped at ``limit``; None → Spark fallback."""
+        qualified = ":" in prefix
+        rows = self._lexicon_range_arrow(
+            prefix, (lambda t: True) if qualified else (lambda t: ":" not in t)
+        )
+        return None if rows is None else rows[:limit]
+
+    def pattern_df_arrow(
+        self, pref: str, lead: str, fullmatch, limit: int
+    ) -> list[str] | None:
+        """Wildcard expansion against the lexicon WITHOUT a Spark job:
+        the same pruned range scan over ``[pref+lead, successor)``
+        (``lead`` = the pattern's literal leading run), then
+        ``fullmatch`` (a compiled-regex ``fullmatch`` bound) filters the
+        candidate payloads in Python — candidate volume is the LEAD's
+        range, already row-group-pruned, not the vocab. Returns terms
+        ordered (df desc, term asc) capped at ``limit``; None → Spark
+        fallback. Only the wildcard-translated regex dialect takes this
+        path (identical semantics in Python and the JVM); user regexes
+        keep Java semantics on the Spark path."""
+        npref = len(pref)
+        rows = self._lexicon_range_arrow(
+            pref + lead,
+            lambda t: (npref or ":" not in t) and fullmatch(t[npref:]),
+        )
+        return None if rows is None else [t for t, _ in rows[:limit]]
 
     def _deletes_listing(self) -> str:
         """Sorted name:size listing of the deletes parts — the mutable

@@ -68,47 +68,62 @@ def _audit_one(
         docnos, tfs, dls = decode_postings(b, meta)
     except Exception as e:  # malformed bytes must surface as data
         return -1, -1, -1, -1, [f"decode_error:{type(e).__name__}"]
-    n = int(docnos.size)
-    dec_cf = int(tfs.sum())
-    if n != df_col:
-        bad.append("df_mismatch")
-    if dec_cf != cf_col:
-        bad.append("cf_mismatch")
-    if n > 1 and not bool(np.all(docnos[1:] > docnos[:-1])):
-        bad.append("docnos_not_increasing")
-    if n and int(docnos[-1]) != meta.last_docno:
-        bad.append("last_docno_mismatch")
-    starts = np.arange(0, n, meta.block_size, dtype=np.int64)
-    if starts.size != meta.nblocks:
-        bad.append("block_count_mismatch")
-    else:
-        if not bool(np.array_equal(docnos[starts], meta.block_first)):
-            bad.append("block_first_mismatch")
-        if not bool(
-            np.array_equal(np.maximum.reduceat(tfs, starts), meta.block_maxtf)
-        ):
-            bad.append("block_maxtf_mismatch")
-        if not bool(
-            np.array_equal(np.minimum.reduceat(dls, starts), meta.block_mindl)
-        ):
-            bad.append("block_mindl_mismatch")
-    if pos_blob is not None:
-        try:
-            flat, entry_starts = decode_positions_blob(
-                np.frombuffer(pos_blob, dtype=np.uint8), tfs
-            )
-            # within-entry positions strictly increase (delta gaps ≥ 1)
-            nonstart = np.ones(flat.size, dtype=bool)
-            nonstart[entry_starts] = False
-            if flat.size > 1 and not bool(
-                np.all(np.diff(flat)[nonstart[1:]] > 0)
-            ):
-                bad.append("positions_not_increasing")
-        except Exception as e:
-            bad.append(f"positions_error:{type(e).__name__}")
-    mn = int(docnos[0]) if n else -1
-    mx = int(docnos[-1]) if n else -1
-    return n, dec_cf, mn, mx, bad
+    # the invariant checks themselves must ALSO never raise — a blob
+    # that decodes into nonsense (e.g. a corrupted block_size of 0, a
+    # block count that overflows reduceat) is precisely what the audit
+    # exists to report, so any exception here becomes a violation row
+    try:
+        n = int(docnos.size)
+        dec_cf = int(tfs.sum())
+        if n != df_col:
+            bad.append("df_mismatch")
+        if dec_cf != cf_col:
+            bad.append("cf_mismatch")
+        if n > 1 and not bool(np.all(docnos[1:] > docnos[:-1])):
+            bad.append("docnos_not_increasing")
+        if n and int(docnos[-1]) != meta.last_docno:
+            bad.append("last_docno_mismatch")
+        if meta.block_size <= 0:
+            bad.append("bad_block_size")
+        else:
+            starts = np.arange(0, n, meta.block_size, dtype=np.int64)
+            if starts.size != meta.nblocks:
+                bad.append("block_count_mismatch")
+            else:
+                if not bool(np.array_equal(docnos[starts], meta.block_first)):
+                    bad.append("block_first_mismatch")
+                if not bool(
+                    np.array_equal(
+                        np.maximum.reduceat(tfs, starts), meta.block_maxtf
+                    )
+                ):
+                    bad.append("block_maxtf_mismatch")
+                if not bool(
+                    np.array_equal(
+                        np.minimum.reduceat(dls, starts), meta.block_mindl
+                    )
+                ):
+                    bad.append("block_mindl_mismatch")
+        if pos_blob is not None:
+            try:
+                flat, entry_starts = decode_positions_blob(
+                    np.frombuffer(pos_blob, dtype=np.uint8), tfs
+                )
+                # within-entry positions strictly increase (gaps ≥ 1)
+                nonstart = np.ones(flat.size, dtype=bool)
+                nonstart[entry_starts] = False
+                if flat.size > 1 and not bool(
+                    np.all(np.diff(flat)[nonstart[1:]] > 0)
+                ):
+                    bad.append("positions_not_increasing")
+            except Exception as e:
+                bad.append(f"positions_error:{type(e).__name__}")
+        mn = int(docnos[0]) if n else -1
+        mx = int(docnos[-1]) if n else -1
+        return n, dec_cf, mn, mx, bad
+    except Exception as e:
+        bad.append(f"audit_error:{type(e).__name__}")
+        return -1, -1, -1, -1, bad
 
 
 def postings_audit(spark: SparkSession, store) -> DataFrame:
@@ -306,7 +321,18 @@ def fsck_index(
         src = corpus.select(
             "doc_id", F.sha2(F.col("content"), 256).alias("src_sha")
         )
-        stored = docmap.groupBy("doc_id").agg(
+        live = docmap
+        dels = store.deletes(spark)
+        if dels is not None:
+            # tombstoned-but-not-compacted rows are not live: their
+            # source content may have legitimately changed since, so
+            # they must not page the operator as sha violations
+            live = live.join(
+                dels.select("doc_id", "segment_id").distinct(),
+                ["doc_id", "segment_id"],
+                "left_anti",
+            )
+        stored = live.groupBy("doc_id").agg(
             F.count("*").alias("nver"),
             F.min("content_sha256").alias("stored_sha"),
         )

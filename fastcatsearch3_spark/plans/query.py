@@ -273,7 +273,13 @@ def _regex_placeholder(w: str, cfg: "EngineConfig") -> str | None:
     (``pref + "/pat/"``); None when the word carries no regex marker.
     Lucene RegexpQuery semantics: the pattern is matched FULLY against
     analyzed lexicon terms (which are lowercase), is itself never run
-    through the analyzer, and an uncompilable pattern raises."""
+    through the analyzer, and an uncompilable pattern raises. Supported
+    dialect = the Python-re (validated here) ∩ Java-regex (executed by
+    the lexicon scan) common subset; Python-only constructs are turned
+    into the same ValueError at expansion time. The TEXT grammar cannot
+    carry whitespace or parentheses inside a pattern (parens switch the
+    parser to tree tokenization) — build a ParsedQuery directly for
+    those."""
     import re
 
     m = re.fullmatch(r"(?:([^:/]+):)?/(.+)/", w)
@@ -341,9 +347,13 @@ def placeholder_kind(term: str) -> str | None:
     lexicon must expand: 'regex' (``/pat/``), 'fuzzy' (``stem~d``),
     'wildcard' (``d?ta``, ``d*ta``, ``da*ta*``), 'prefix' (``da*``) —
     or None for a plain term. Single detection point shared by the
-    parser, the single-query path, and the batch kernel."""
-    payload = term.rsplit(":", 1)[-1]
-    if payload.startswith("/") and payload.endswith("/") and len(payload) > 2:
+    parser, the single-query path, and the batch kernel. The regex test
+    uses the SAME ``(field:)?/pat/`` grammar the parser and expander use
+    — patterns containing ':', '?', or '*' (e.g. non-capturing groups)
+    must classify as regex, never leak into the wildcard/field paths."""
+    import re
+
+    if re.fullmatch(r"(?:([^:/]+):)?/(.+)/", term):
         return "regex"
     if _fuzzy_suffix(term) is not None:
         return "fuzzy"

@@ -274,13 +274,26 @@ def expand_pattern(
     payload = F.expr(f"substring(term, {len(pref) + 1})")
     if lead and prefix_bound:
         lex = lex.where(F.col("term").startswith(pref + lead))
-    rows = (
-        lex.where(payload.rlike(f"^(?:{rx})$"))
-        .select("term", "df")
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(cap)
-        .collect()
-    )
+    try:
+        rows = (
+            lex.where(payload.rlike(f"^(?:{rx})$"))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(cap)
+            .collect()
+        )
+    except Exception as e:  # noqa: BLE001
+        # supported dialect = the Python re (parse-time validation) ∩
+        # Java regex (execution) common subset; a Python-only construct
+        # (e.g. (?P<name>...)) surfaces here as a JVM PatternSyntax
+        # error — turn it into the same clean ValueError a parse-time
+        # rejection gives, not a raw py4j traceback
+        if "PatternSyntax" in str(e):
+            raise ValueError(
+                f"regex term {ph!r} is not supported by the JVM regex "
+                "engine (use the Python-re/Java-regex common subset)"
+            ) from None
+        raise
     return [r["term"] for r in rows]
 
 
@@ -377,9 +390,14 @@ def _expand_prefixes(
             continue
         if lexdf is None:
             lexdf = store.lexicon(spark)
+        scan = lexdf.where(F.col("term").startswith(ph[:-1]))
+        if ":" not in ph[:-1]:
+            # unqualified prefixes must never expand into another
+            # field's namespace (same rule as the fuzzy/wildcard paths
+            # and prefix_df_arrow)
+            scan = scan.where(~F.col("term").contains(":"))
         rows = (
-            lexdf.where(F.col("term").startswith(ph[:-1]))
-            .select("term", "df")
+            scan.select("term", "df")
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(cfg.max_prefix_expansion)
             .collect()

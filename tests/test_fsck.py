@@ -217,3 +217,77 @@ def test_sha_sampling_is_deterministic_subset(spark, tmp_path):
     sampled = fsck_index(spark, store, corpus=corpus, sha_sample_mod=4)
     assert full["content_sha256"]["ok"]
     assert sampled["content_sha256"]["ok"]
+
+
+def test_bad_block_size_is_violation_not_crash():
+    """A corrupted block_size of 0 decodes 'cleanly' (single-block blobs
+    derive their count independently) but must surface as a violation
+    row, never an exception from the invariant checks themselves
+    (review finding: np.arange(step=0) raised OUTSIDE the try)."""
+    from fastcatsearch3_spark.functions.vbyte import (
+        decode_meta,
+        encode_postings,
+        vbyte_encode,
+    )
+    from fastcatsearch3_spark.operators.fsck import _audit_one
+
+    docnos = np.arange(1, 6, dtype=np.uint64)
+    tfs = np.ones(5, dtype=np.uint64)
+    dls = np.full(5, 7, dtype=np.uint64)
+    blob = encode_postings(docnos, tfs, dls, 128)
+    b = np.frombuffer(blob, dtype=np.uint8)
+    meta = decode_meta(b)
+    nb = meta.nblocks
+    bf_delta = np.empty(nb, dtype=np.uint64)
+    bf_delta[0] = meta.block_first[0]
+    bf_delta[1:] = np.diff(meta.block_first)
+    meta_vals = np.concatenate(
+        [
+            np.array([meta.n, nb, 0, meta.last_docno], dtype=np.uint64),
+            bf_delta,
+            np.asarray(meta.block_maxtf, dtype=np.uint64),
+            np.asarray(meta.block_mindl, dtype=np.uint64),
+            meta.block_bytes.astype(np.uint64),
+        ]
+    )
+    tampered = vbyte_encode(meta_vals).tobytes() + bytes(
+        b[meta.data_offset :]
+    )
+    dec_df, dec_cf, mn, mx, bad = _audit_one(tampered, None, 5, 5)
+    assert "bad_block_size" in bad
+
+
+def test_tombstoned_doc_with_changed_source_not_a_sha_violation(
+    spark, tmp_path
+):
+    """A deleted-but-not-compacted doc whose source content has since
+    changed must not page the operator as a sha mismatch (review
+    finding #5): the docmap row is excluded via the tombstone set."""
+    from pyspark.sql import functions as F
+
+    store, corpus = _build(spark, tmp_path)
+    edited = corpus.withColumn(
+        "content",
+        F.when(F.col("doc_id") == 1, F.lit("totally rewritten since"))
+        .otherwise(F.col("content")),
+    ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+    # without a tombstone the edit IS a (true) violation
+    report = fsck_index(spark, store, corpus=edited)
+    assert not report["content_sha256"]["ok"]
+
+    # tombstone doc 1 in every segment → excluded, check back to ok
+    segs = (
+        store.docmap(spark)
+        .where(F.col("doc_id") == 1)
+        .select("segment_id")
+        .distinct()
+        .collect()
+    )
+    dels = spark.createDataFrame(
+        [(1, int(r["segment_id"])) for r in segs],
+        "doc_id long, segment_id int",
+    )
+    dels.write.mode("append").parquet(str(Path(store.root) / "deletes"))
+    report = fsck_index(spark, IndexStore(store.root), corpus=edited)
+    assert report["content_sha256"]["ok"], report["content_sha256"]

@@ -242,3 +242,101 @@ def test_batch_path_parity(spark, tmp_path):
         assert part["score"].to_numpy() == pytest.approx(
             single["score"].to_numpy(), abs=1e-9
         )
+
+
+# --------------------------------------------- review-finding regressions
+
+
+def test_regex_with_colon_or_group_classifies_as_regex():
+    """Review finding #1: a regex payload containing ':' (e.g. a
+    non-capturing group) must classify as 'regex', never leak into the
+    wildcard/field split (which silently matched nothing)."""
+    assert placeholder_kind("/(?:sl|r)ow/") == "regex"
+    assert placeholder_kind("/a:b/") == "regex"
+    assert placeholder_kind("repo:/a:b/") == "regex"
+
+
+def test_regex_group_pattern_end_to_end(spark, tmp_path):
+    """A directly-constructed ParsedQuery carrying '/(?:tables?|stable)/'
+    (parens can't ride the text grammar) must expand to
+    {table, tables, stable} as one group — the same result as the
+    equivalent wildcard query."""
+    from fastcatsearch3_spark.plans.query import ParsedQuery
+    from fastcatsearch3_spark.plans.search import search_index
+
+    store, _, _ = _mini_index(spark, tmp_path, ROWS)
+    pq = ParsedQuery(
+        terms=["/(?:tables?|stable)/", "merge"],
+        op="AND",
+        groups=[(0,), (1,)],
+    )
+    got = search_index(spark, store, pq, k=10).toPandas()
+    want = search_index(spark, store, "*able* merge", k=10).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert got["score"].to_numpy() == pytest.approx(
+        want["score"].to_numpy(), abs=1e-9
+    )
+
+
+def test_python_only_regex_raises_clean_valueerror(spark, tmp_path):
+    """Review finding #4: a Python-only construct ((?P<name>...)) passes
+    parse-time validation but must surface as a clean ValueError at
+    expansion, not a raw JVM PatternSyntaxException traceback."""
+    from fastcatsearch3_spark.plans.query import ParsedQuery
+    from fastcatsearch3_spark.plans.search import search_index
+
+    store, _, _ = _mini_index(spark, tmp_path, ROWS)
+    pq = ParsedQuery(
+        terms=["/(?P<g>tab)le/", "merge"], op="AND", groups=[(0,), (1,)]
+    )
+    with pytest.raises(ValueError, match="JVM regex"):
+        search_index(spark, store, pq, k=10).collect()
+
+
+def test_unqualified_prefix_does_not_leak_field_namespace(spark, tmp_path):
+    """Review finding #3: 'r*' on a multi-field index must expand to
+    content terms only ({row} here), never 'repo:…' keys — on BOTH the
+    arrow probe and the Spark fallback."""
+    from fastcatsearch3_spark.index import IndexStore
+    from fastcatsearch3_spark.operators.build import build_index
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+    from fastcatsearch3_spark.plans.search import search_index
+
+    rows = [
+        (1, "row merge table"),
+        (2, "row merge line"),
+        (3, "merge merge value"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "repoalpha",  # source→repo; indexes "repo:repoalpha"
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    corpus = normalize_corpus(spark.createDataFrame(pdf))
+    cfg = EngineConfig(num_shards=2, indexed_fields=("content", "repo"))
+    root = str(tmp_path / "idx")
+    build_index(spark, corpus, root, cfg)
+    store = IndexStore(root)
+    # sanity: the leak candidate exists in the lexicon
+    lex_terms = {r["term"] for r in store.lexicon(spark).collect()}
+    assert "repo:repoalpha" in lex_terms and "row" in lex_terms
+
+    want = search_index(spark, store, "row merge", k=10).toPandas()
+    got = search_index(spark, store, "r* merge", k=10).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert got["score"].to_numpy() == pytest.approx(
+        want["score"].to_numpy(), abs=1e-9
+    )
+
+    # Spark fallback path (arrow probe disabled) must agree
+    store2 = IndexStore(root)
+    store2.prefix_df_arrow = lambda *a, **k: None
+    got2 = search_index(spark, store2, "r* merge", k=10).toPandas()
+    assert list(got2["doc_id"]) == list(want["doc_id"])
+    assert got2["score"].to_numpy() == pytest.approx(
+        want["score"].to_numpy(), abs=1e-9
+    )
