@@ -774,6 +774,23 @@ def _q_index_fsck(spark, sf_dir):
     )
 
 
+def _q_search_explain(spark, sf_dir):
+    # score explain (Lucene IndexSearcher.explain): per-(doc, term) BM25
+    # partials for the top-k of "spark merge^2", derived from the INDEX
+    # artifacts (pushed-In postings decode + lexicon df) — sum of a
+    # doc's partials == the kernel's score (pinned by tests/test_explain)
+    from fastcatsearch3_spark.plans.search import explain_scores
+
+    store = _packed_store(spark, sf_dir)
+    ex = explain_scores(spark, store, "spark merge^2", k=_K)
+    return ex.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(F.col("partial") * 10000).cast("long").alias("partial_e4"),
+    ).orderBy(F.asc("doc_id"), F.asc("term"))
+
+
 def _q_bm25_wildcard(spark, sf_dir):  # Lucene WildcardQuery: "s?a*" — '?'
     # is exactly one char, '*' any run; the pattern full-matches analyzed
     # lexicon terms ({scan, small, spark} at this sf) and becomes ONE
@@ -1616,9 +1633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries (bm25_boost, bm25_msm, search_paging, source_json, doclens,
     # pii_scrub, sample_stratified, mixture_weights, pack_sequences) are
     # all driver-green in CORRECTNESS_r03. Late-r4 rotation: the new
-    # wildcard/regex term queries (bm25_wildcard, bm25_regex) and the
-    # integrity audit (index_fsck) enter the window; bm25_synonyms,
-    # search_facet, and source_csv (all driver-green in r03) rotate out.
+    # wildcard/regex term queries (bm25_wildcard, bm25_regex), the
+    # integrity audit (index_fsck), and score explain (search_explain)
+    # enter the window; bm25_synonyms, search_facet, source_csv, and
+    # suggest (all driver-green in r03) rotate out.
     # The full self-run over ALL entries is committed per-round as
     # BENCH/DRIVER_CHECK_r{N}.txt (scripts/driver_check.py).
     return {
@@ -1653,7 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facet_range": _q_search_facet_range,
         "more_like_this": _q_more_like_this,
         "spell_suggest": _q_spell_suggest,
-        "suggest": _q_suggest,
+        "search_explain": _q_search_explain,
         "hybrid_search": _q_hybrid_search,
         "hybrid_rrf": _q_hybrid_rrf,
         "incremental_search": _q_incremental_search,
@@ -1681,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "search_facet": _q_search_facet,
         "source_csv": _q_source_csv,
+        "suggest": _q_suggest,
         "bm25_boost": _q_bm25_boost,
         "bm25_msm": _q_bm25_msm,
         "search_paging": _q_search_paging,
@@ -3141,6 +3160,28 @@ ORDER BY score DESC, doc_id ASC LIMIT {_K}
             _Q_AND2, "AND", _K, order_raw=True, boosts={"merge": 3.0}
         ),
         # did-you-mean: lexicon terms within levenshtein 2 of 'qery'
+        "search_explain": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'merge')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.term, q.tf,
+         (CASE WHEN q.term = 'merge' THEN 2.0 ELSE 1.0 END)
+           * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score, count(*) AS nt
+        FROM scored GROUP BY doc_id),
+topk AS (SELECT doc_id FROM agg WHERE nt = 2
+         ORDER BY score DESC, doc_id ASC LIMIT {_K})
+SELECT s.doc_id, s.term, CAST(s.tf AS BIGINT) AS tf,
+       CAST(round(s.partial * 10000) AS BIGINT) AS partial_e4
+FROM scored s JOIN topk USING (doc_id)
+ORDER BY s.doc_id ASC, s.term ASC
+""",
         "spell_suggest": f"""
 WITH lex AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ({_TF})
              GROUP BY term)

@@ -489,6 +489,120 @@ def _expand_prefixes(
     )
 
 
+def explain_scores(
+    spark: SparkSession,
+    store,
+    query: "str | ParsedQuery",
+    k: int = 10,
+    doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Score explain (Lucene ``IndexSearcher.explain``): per-(doc, term)
+    BM25 partials for the query's top-k docs — columns (doc_id, term,
+    tf, dl, df, idf, boost, partial), ordered (doc_id asc, partial desc,
+    term asc). The invariant ``Σ partial over a doc's rows ==
+    search_index score`` is pinned by test (NOT terms and gating
+    constraints — groups/msm/phrases — affect WHICH docs rank, never a
+    ranked doc's score, so partials always reconcile).
+
+    Derivation is from the INDEX artifacts, not the corpus (that is the
+    point of explain): the pushed-``In`` postings scan of the query's
+    terms is blob-decoded with the compaction kernel, restricted to the
+    target docs' (segment, shard, docno) rows via a broadcast-sized
+    join, and joined with the global lexicon df — so the numbers shown
+    are exactly the numbers the kernel scored with. Cost: the query
+    terms' posting lists once, regardless of corpus size; the target-doc
+    relation is k rows."""
+    cfg = store.config()
+    pq = parse_query(query, cfg) if isinstance(query, str) else query
+    pq = _expand_prefixes(spark, store, pq, cfg)
+    empty = spark.createDataFrame(
+        [],
+        "doc_id long, term string, tf bigint, dl bigint, df bigint,"
+        " idf double, boost double, partial double",
+    )
+    if pq is None or not pq.terms:
+        return empty
+    stats = store.stats()
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if n_docs == 0:
+        return empty
+    avgdl_by_field = stats.get("avgdl_by_field") or {}
+    if doc_ids is None:
+        doc_ids = [
+            r["doc_id"]
+            for r in search_index(spark, store, pq, k=k).collect()
+        ]
+    if not doc_ids:
+        return empty
+    boosts = pq.boosts or {}
+    terms = list(dict.fromkeys(pq.terms))
+    qmeta = spark.createDataFrame(
+        [
+            (
+                t,
+                float(boosts.get(t, 1.0)),
+                float(
+                    avgdl_by_field.get(t.split(":", 1)[0], avgdl)
+                    if ":" in t
+                    else avgdl
+                ),
+            )
+            for t in terms
+        ],
+        "term string, boost double, adl double",
+    )
+    from fastcatsearch3_spark.streaming.incremental import (
+        _DECODE_SCHEMA,
+        _decode_iter,
+    )
+
+    targets = (
+        store.docmap(spark)
+        .where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        .select("segment_id", "shard", "docno", "doc_id")
+    )
+    entries = (
+        store.postings(spark)
+        .where(F.col("term").isin(terms))
+        .select("segment_id", "shard", "term", "postings")
+        .mapInPandas(_decode_iter, _DECODE_SCHEMA)
+        .join(F.broadcast(targets), ["segment_id", "shard", "docno"])
+    )
+    lex = (
+        store.lexicon(spark)
+        .where(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    k1, b = float(cfg.k1), float(cfg.b)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("adl"))
+        )
+    )
+    return (
+        entries.join(F.broadcast(lex), "term")
+        .join(F.broadcast(qmeta), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long"),
+            F.col("dl").cast("long"),
+            F.col("df").cast("long"),
+            idf.alias("idf"),
+            "boost",
+            (idf * tf_norm * F.col("boost")).alias("partial"),
+        )
+        .orderBy(F.asc("doc_id"), F.desc("partial"), F.asc("term"))
+    )
+
+
 def suggest_terms(
     spark: SparkSession, store, prefix: str, k: int = 10
 ) -> DataFrame:
