@@ -157,5 +157,20 @@ class Collection:
 
         return suggest_terms(self.spark, self.store, prefix, k=k)
 
+    def explain(self, query, k: int = 10, doc_ids=None) -> DataFrame:
+        """Per-(doc, term) BM25 partials for the query's top-k docs
+        (plans/search.explain_scores — Lucene IndexSearcher.explain)."""
+        from fastcatsearch3_spark.plans.search import explain_scores
+
+        return explain_scores(
+            self.spark, self.store, query, k=k, doc_ids=doc_ids
+        )
+
+    def fsck(self, corpus: DataFrame | None = None, **kw) -> dict:
+        """Integrity audit report (operators/fsck.fsck_index)."""
+        from fastcatsearch3_spark.operators.fsck import fsck_index
+
+        return fsck_index(self.spark, self.store, corpus=corpus, **kw)
+
     def stats(self) -> dict:
         return self.store.stats()

@@ -164,3 +164,31 @@ assert col.cache_misses == 1 and col.shared_hits == 0
     rows2 = col.search("spark merge", k=5).collect()
     assert col.cache_misses == 1
     assert {r["doc_id"] for r in rows2} >= {4}
+
+
+def test_collection_explain_and_fsck(spark, tmp_path):
+    """The facade exposes score explain and the integrity audit; explain
+    partials reconcile with search scores and a fresh build audits
+    clean."""
+    import pytest as _pt
+
+    col = Collection(spark, str(tmp_path / "idx"), EngineConfig(num_shards=2))
+    corpus = normalize_corpus(
+        spark.createDataFrame(
+            _pdf(
+                [
+                    (1, "spark merge table"),
+                    (2, "slow merge line"),
+                    (3, "merge merge value spark"),
+                ]
+            )
+        )
+    )
+    col.build(corpus)
+    hits = col.search("spark merge", k=5).toPandas()
+    ex = col.explain("spark merge", k=5).toPandas()
+    sums = ex.groupby("doc_id")["partial"].sum()
+    for _, r in hits.iterrows():
+        assert sums[r["doc_id"]] == _pt.approx(r["score"], abs=1e-9)
+    report = col.fsck(corpus=corpus)
+    assert report["ok"], report
