@@ -340,3 +340,49 @@ def test_unqualified_prefix_does_not_leak_field_namespace(spark, tmp_path):
     assert got2["score"].to_numpy() == pytest.approx(
         want["score"].to_numpy(), abs=1e-9
     )
+
+
+def test_wildcard_translation_matches_fnmatch_property():
+    """Property: the wildcard→regex translation agrees with Python's
+    fnmatch semantics for '*' and '?' over random patterns/candidates
+    (no char-class support on either side here)."""
+    import fnmatch
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fastcatsearch3_spark.plans.search import _wildcard_to_regex
+
+    alphabet = "abc*?"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        pat=st.text(alphabet=alphabet, min_size=1, max_size=8),
+        cand=st.text(alphabet="abc", max_size=8),
+    )
+    def check(pat, cand):
+        rx, lead = _wildcard_to_regex(pat)
+        got = re.fullmatch(f"(?:{rx})", cand) is not None
+        want = fnmatch.fnmatchcase(cand, pat)
+        assert got == want, (pat, cand, got, want)
+        # the literal lead is sound: any match must start with it
+        if want and lead:
+            assert cand.startswith(lead)
+
+    check()
+
+
+def test_tree_mode_not_wildcard(spark, tmp_path):
+    """Tree mode allows placeholders under NOT (expansion rewrites the
+    leaf to OR(expansions) inside the NOT): '(merge NOT t?ble)' must
+    equal '(merge NOT table)' here."""
+    from fastcatsearch3_spark.plans.search import search_index
+
+    store, _, _ = _mini_index(spark, tmp_path, ROWS)
+    got = search_index(spark, store, "(merge NOT t?ble)", k=10).toPandas()
+    want = search_index(spark, store, "(merge NOT table)", k=10).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert got["score"].to_numpy() == pytest.approx(
+        want["score"].to_numpy(), abs=1e-9
+    )
