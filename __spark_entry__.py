@@ -791,6 +791,30 @@ def _q_search_explain(spark, sf_dir):
     ).orderBy(F.asc("doc_id"), F.asc("term"))
 
 
+def _q_snapshot_search(spark, sf_dir):
+    # point-in-time backup (operators/snapshot.py): epoch-checked copy of
+    # the durable index state; search on the RESTORED snapshot must equal
+    # the corpus BM25 oracle exactly (same index version). Derived
+    # artifacts (.denied, fuzzy tables, caches) are not copied — they
+    # rebuild lazily, which this search exercises.
+    import tempfile
+    from pathlib import Path
+
+    from fastcatsearch3_spark.operators.snapshot import (
+        restore_index,
+        snapshot_index,
+    )
+
+    store = _packed_store(spark, sf_dir)
+    work = Path(tempfile.mkdtemp(prefix="fcs3_snap_"))
+    snapshot_index(store, work / "backup")
+    restore_index(work / "backup", work / "restored")
+    hits = search_index(
+        spark, IndexStore(str(work / "restored")), "spark merge", k=_K
+    )
+    return hits.select("doc_id", _e4())
+
+
 def _q_bm25_wildcard(spark, sf_dir):  # Lucene WildcardQuery: "s?a*" — '?'
     # is exactly one char, '*' any run; the pattern full-matches analyzed
     # lexicon terms ({scan, small, spark} at this sf) and becomes ONE
@@ -1743,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": _q_join_revenue,
         "distinct_users": _q_distinct_users,
         "rollup_counts": _q_rollup_counts,
+        "snapshot_search": _q_snapshot_search,
     }
 
 
@@ -2309,6 +2334,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and": _bm25_sql(_Q_AND, "AND", _K),
         "bm25_or": _bm25_sql(_Q_OR, "OR", _K),
         "bm25_packed_and": _bm25_sql(_Q_AND2, "AND", _K, order_raw=True),
+        "snapshot_search": _bm25_sql(_Q_AND2, "AND", _K, order_raw=True),
         "bm25_packed_not": _bm25_sql(
             _Q_NOT_POS, "AND", _K, not_terms=_Q_NOT_NEG, order_raw=True
         ),
