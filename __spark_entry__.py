@@ -815,6 +815,19 @@ def _q_snapshot_search(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_search_after(spark, sf_dir):
+    # cursor pagination (Lucene searchAfter): page 2 of "spark merge"
+    # fetched via the page-1 tail cursor — for the deterministic
+    # (score desc, doc_id asc) total order this equals offset paging
+    # exactly, which is what the oracle mirrors; unlike offset, each
+    # shard ships k + ties rows however deep the page (O-2 at depth)
+    store = _packed_store(spark, sf_dir)
+    page1 = search_index(spark, store, "spark merge", k=_K).collect()
+    cur = (page1[-1]["score"], page1[-1]["doc_id"])
+    hits = search_index(spark, store, "spark merge", k=_K, after=cur)
+    return hits.select("doc_id", _e4())
+
+
 def _q_bm25_wildcard(spark, sf_dir):  # Lucene WildcardQuery: "s?a*" — '?'
     # is exactly one char, '*' any run; the pattern full-matches analyzed
     # lexicon terms ({scan, small, spark} at this sf) and becomes ONE
@@ -1768,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": _q_distinct_users,
         "rollup_counts": _q_rollup_counts,
         "snapshot_search": _q_snapshot_search,
+        "search_after": _q_search_after,
     }
 
 
@@ -2335,6 +2349,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_or": _bm25_sql(_Q_OR, "OR", _K),
         "bm25_packed_and": _bm25_sql(_Q_AND2, "AND", _K, order_raw=True),
         "snapshot_search": _bm25_sql(_Q_AND2, "AND", _K, order_raw=True),
+        "search_after": _bm25_sql(
+            _Q_AND2, "AND", _K, order_raw=True, offset=_K
+        ),
         "bm25_packed_not": _bm25_sql(
             _Q_NOT_POS, "AND", _K, not_terms=_Q_NOT_NEG, order_raw=True
         ),

@@ -308,9 +308,17 @@ def score_group(
     tree=None,  # plans.query.Node — nested boolean; overrides op/groups/msm
     tree_pos_terms: set[str] | None = None,
     phrase_only_terms: set[str] | None = None,
+    after_score: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (segment, shard) group. Returns (docnos, scores) of the
     local top-k, score-desc / docno-asc ordered.
+
+    ``after_score`` (cursor pagination, O-2 at depth): keep the local
+    top-k of docs scoring STRICTLY BELOW the cursor, plus EVERY doc
+    scoring exactly at it (the global doc_id tie-break can only be
+    resolved after the docmap join, and exact-float ties don't map to
+    docno order) — so each shard ships k + #ties rows no matter how
+    deep the page, where offset paging ships offset + k.
 
     ``phrase_tps``: per phrase, the member TermPostings (with pos_blob) in
     phrase order — candidates failing the consecutive-position check are
@@ -370,8 +378,11 @@ def score_group(
     elif mode == "bmw" and op == "OR":
         docnos, scores = _score_or_maxscore(
             terms, k, k1, b, avgdl,
+            # the cursor needs docs below the previous page's floor, so
+            # MaxScore's own top-k theta pruning must be disabled too
             unlimited=(allow_docnos is not None or deny_docnos is not None
-                       or bool(not_terms) or bool(phrase_tps)),
+                       or bool(not_terms) or bool(phrase_tps)
+                       or after_score is not None),
         )
     else:
         docnos, scores = _score_taat(terms, op, k1, b, avgdl)
@@ -402,6 +413,12 @@ def score_group(
             m[ok] = deny_docnos[pos[ok]] == docnos[ok]
             keep &= ~m
         docnos, scores = docnos[keep], scores[keep]
+    if after_score is not None:
+        tied = scores == after_score
+        td, ts = docnos[tied], scores[tied]
+        below = scores < after_score
+        bd, bs = _topk(scores[below], docnos[below], k)
+        return np.concatenate([td, bd]), np.concatenate([ts, bs])
     return _topk(scores, docnos, k)
 
 

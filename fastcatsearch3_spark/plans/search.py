@@ -71,6 +71,7 @@ def _make_kernel(
     tree=None,  # plans.query.Node — nested boolean clause tree
     tree_pos_terms: set[str] | None = None,
     phrase_only_terms: set[str] | None = None,
+    after_score: float | None = None,
 ):
     """Build the per-(segment, shard) scoring function (U-5).
     ``term_avgdl``: per-term avgdl overrides for field-qualified terms
@@ -171,6 +172,7 @@ def _make_kernel(
             tree=tree,
             tree_pos_terms=tree_pos_terms,
             phrase_only_terms=phrase_only_terms,
+            after_score=after_score,
         )
         return pd.DataFrame(
             {
@@ -940,6 +942,7 @@ def search_index(
     hydrate: bool = False,
     corpus_df: DataFrame | None = None,
     offset: int = 0,
+    after: "tuple[float, int] | None" = None,
     _return_all: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, score) ordered by
@@ -948,10 +951,25 @@ def search_index(
     paging, O-2): each shard kernel keeps offset+k local hits so the
     global merge can skip offset rows exactly.
 
+    ``after`` (cursor pagination — Lucene searchAfter / ES search_after):
+    pass the LAST hit of the previous page as ``(score, doc_id)`` and
+    get the next k results strictly after it in (score desc, doc_id asc)
+    order. Unlike ``offset``, each shard ships k + #exact-score-ties
+    rows no matter how deep the page — the scale path for deep paging
+    (offset ships offset+k rows per shard). Exact: pages concatenate to
+    the single-query ranking (pinned by test). Mutually exclusive with
+    ``offset``; the cursor score must be passed back unmodified (float64
+    equality anchors the tie handling).
+
     ``_return_all`` (internal, for collapse/grouping): score EVERY
     matching doc and return the distributed unordered (doc_id, score)
     relation — no top-k truncation, no driver collect."""
     cfg = store.config()
+    if after is not None:
+        if offset:
+            raise ValueError("after and offset are mutually exclusive")
+        if _return_all:
+            raise ValueError("after does not apply to _return_all")
     pq = parse_query(query, cfg) if isinstance(query, str) else query
     pq = _expand_prefixes(spark, store, pq, cfg)
     if pq is None:  # an AND'd prefix matched nothing in the lexicon
@@ -1099,8 +1117,9 @@ def search_index(
         qidf,
         set(not_terms),
         # each shard holds offset+k hits so the global merge can page
-        # exactly; _return_all disables truncation entirely
-        k=(1 << 62) if _return_all else offset + k,
+        # exactly; with an `after` cursor, k (+ ties, kept in-kernel) is
+        # enough; _return_all disables truncation entirely
+        k=(1 << 62) if _return_all else (k if after is not None else offset + k),
         op=pq.op,
         mode=mode,
         k1=cfg.k1,
@@ -1118,6 +1137,7 @@ def search_index(
         tree=pq.tree,
         tree_pos_terms=set(terms) if pq.tree is not None else None,
         phrase_only_terms=phrase_only or None,
+        after_score=float(after[0]) if after is not None else None,
     )
     if masks:
         mask_df = masks[0]
@@ -1157,15 +1177,28 @@ def search_index(
             .join(hits, ["segment_id", "shard", "docno"])
             .select("doc_id", "score")
         )
+
+    def _page(scored: DataFrame) -> DataFrame:
+        if after is not None:
+            s0, i0 = float(after[0]), int(after[1])
+            scored = scored.where(
+                (F.col("score") < s0)
+                | ((F.col("score") == s0) & (F.col("doc_id") > i0))
+            )
+            return scored.orderBy(
+                F.desc("score"), F.asc("doc_id")
+            ).limit(k)
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .offset(offset)
+            .limit(k)
+        )
     if n_docs < cfg.hydrate_pushdown_min_docs:
-        out = (
+        out = _page(
             store.docmap(spark)
             .select("segment_id", "shard", "docno", "doc_id")
             .join(F.broadcast(hits), ["segment_id", "shard", "docno"])
             .select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .offset(offset)
-            .limit(k)
         )
         return _hydrate(spark, store, out, hydrate, corpus_df)
     hit_rows = hits.collect()
@@ -1194,12 +1227,9 @@ def search_index(
             .select("segment_id", "shard", "docno", "doc_id")
             .where(seg_pred & part_pred)
         )
-        out = (
+        out = _page(
             dm.join(F.broadcast(hits_df), ["segment_id", "shard", "docno"])
             .select("doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .offset(offset)
-            .limit(k)
         )
     return _hydrate(spark, store, out, hydrate, corpus_df)
 
