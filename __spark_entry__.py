@@ -828,6 +828,17 @@ def _q_search_after(spark, sf_dir):
     return hits.select("doc_id", _e4())
 
 
+def _q_spell_correct(spark, sf_dir):
+    # whole-query did-you-mean (F-7 family): per analyzed token, the best
+    # lexicon correction (dist asc, df desc, term asc) in ONE job — a
+    # lexicon-present token self-corrects at dist 0, no-candidate tokens
+    # are omitted
+    from fastcatsearch3_spark.plans.search import correct_query
+
+    store = _packed_store(spark, sf_dir)
+    return correct_query(spark, store, "qery mrege table")
+
+
 def _q_bm25_wildcard(spark, sf_dir):  # Lucene WildcardQuery: "s?a*" — '?'
     # is exactly one char, '*' any run; the pattern full-matches analyzed
     # lexicon terms ({scan, small, spark} at this sf) and becomes ONE
@@ -1782,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": _q_rollup_counts,
         "snapshot_search": _q_snapshot_search,
         "search_after": _q_search_after,
+        "spell_correct": _q_spell_correct,
     }
 
 
@@ -3224,6 +3236,21 @@ SELECT s.doc_id, s.term, CAST(s.tf AS BIGINT) AS tf,
        CAST(round(s.partial * 10000) AS BIGINT) AS partial_e4
 FROM scored s JOIN topk USING (doc_id)
 ORDER BY s.doc_id ASC, s.term ASC
+""",
+        "spell_correct": f"""
+WITH tf AS ({_TF}),
+lex AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM
+        (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+q(pos, word) AS (SELECT * FROM (VALUES (0, 'qery'), (1, 'mrege'), (2, 'table'))),
+cand AS (SELECT q.pos, q.word, l.term,
+                levenshtein(l.term, q.word) AS dist, l.df
+         FROM q JOIN lex l ON abs(length(l.term) - length(q.word)) <= 2),
+best AS (SELECT *, row_number() OVER (PARTITION BY pos
+           ORDER BY dist ASC, df DESC, term ASC) AS rn
+         FROM cand WHERE dist <= 2)
+SELECT CAST(pos AS BIGINT) AS pos, word, term AS suggestion,
+       CAST(dist AS BIGINT) AS dist, df
+FROM best WHERE rn = 1 ORDER BY pos
 """,
         "spell_suggest": f"""
 WITH lex AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ({_TF})

@@ -655,6 +655,61 @@ def spell_suggest(
     )
 
 
+def correct_query(
+    spark: SparkSession,
+    store,
+    text: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Whole-query did-you-mean (the reference's spell correction over a
+    full query string [M], beyond per-word ``spell_suggest``): every
+    analyzed token gets its best lexicon correction — (dist asc, df
+    desc, term asc); a token already in the lexicon corrects to itself
+    at dist 0 — in ONE Spark job for the whole query: the token list is
+    broadcast against the length-banded lexicon (|len(term) − len(token)|
+    ≤ max_dist is a Levenshtein lower bound, so the JVM levenshtein runs
+    on a sliver of the vocab-sized lexicon), one window picks the winner
+    per position. Returns (pos, word, suggestion, dist, df) in query
+    order; tokens with no candidate within ``max_dist`` are omitted."""
+    from pyspark.sql import Window
+
+    from fastcatsearch3_spark.functions.analyzer import tokenize_text
+
+    cfg = store.config()
+    toks = tokenize_text(text, cfg)
+    if not toks:
+        return spark.createDataFrame(
+            [],
+            "pos long, word string, suggestion string, dist long, df long",
+        )
+    qdf = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(toks)],
+        "pos long, word string, wlen int",
+    )
+    lex = store.lexicon(spark).where(~F.col("term").contains(":"))
+    cand = lex.join(
+        F.broadcast(qdf),
+        (F.length("term") >= F.col("wlen") - max_dist)
+        & (F.length("term") <= F.col("wlen") + max_dist),
+    ).withColumn("dist", F.levenshtein(F.col("term"), F.col("word")))
+    w = Window.partitionBy("pos").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.where(F.col("dist") <= max_dist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "pos",
+            "word",
+            F.col("term").alias("suggestion"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy("pos")
+    )
+
+
 def search_sorted(
     spark: SparkSession,
     store,
