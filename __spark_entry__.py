@@ -1589,6 +1589,25 @@ def _q_more_like_this(spark, sf_dir):  # Lucene-style MLT: seed doc's top
     return hits.select("doc_id", _e4())
 
 
+def _q_related_keywords(spark, sf_dir):
+    # significant terms over the Q-3 match set (the reference's related-
+    # search-keywords service / ES significant-terms): foreground df from
+    # matched docs only, background df from the lexicon artifact, score =
+    # foreground coverage x PMI log-lift; query terms excluded
+    from fastcatsearch3_spark.plans.search import related_keywords
+
+    store = _packed_store(spark, sf_dir)
+    out = related_keywords(
+        spark,
+        store,
+        " ".join(_Q_AND2),
+        _corpus(spark, sf_dir),
+        top_n=_K,
+        min_fg_df=2,
+    )
+    return out.select("term", "fg_df", "bg_df", _e4())
+
+
 def _q_search_collapse(spark, sf_dir):
     # field collapse / result bundling: best 2 docs per repo (=source) for
     # the top-8 repos by best-doc BM25 score, with bundle sizes — the full
@@ -1718,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapse": _q_search_collapse,
         "search_facet_range": _q_search_facet_range,
         "more_like_this": _q_more_like_this,
+        "related_keywords": _q_related_keywords,
         "spell_suggest": _q_spell_suggest,
         "search_explain": _q_search_explain,
         "hybrid_search": _q_hybrid_search,
@@ -3112,6 +3132,31 @@ WHERE doc_id IN (
   ) WHERE nt = 2
 )
 GROUP BY lang ORDER BY cnt DESC, lang ASC
+""",
+        # significant terms over the AND(spark, merge) match set: fg df in
+        # the match set vs bg df in the corpus, coverage x PMI log-lift,
+        # query terms excluded, fg_df >= 2, positive lift only
+        "related_keywords": f"""
+WITH tf AS ({_TF}),
+mset AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, count(DISTINCT term) AS nt FROM tf
+    WHERE term IN ('spark', 'merge') GROUP BY doc_id) WHERE nt = 2),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mset),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+fg AS (SELECT term, CAST(count(*) AS BIGINT) AS fg_df FROM tf
+       WHERE doc_id IN (SELECT doc_id FROM mset) GROUP BY term),
+bg AS (SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM tf GROUP BY term),
+scored AS (
+  SELECT f.term, f.fg_df, b.bg_df,
+         (CAST(f.fg_df AS DOUBLE) / m.m)
+           * ln(CAST(f.fg_df AS DOUBLE) * n.n_docs
+                / (CAST(m.m AS DOUBLE) * b.bg_df)) AS score
+  FROM fg f JOIN bg b USING (term) CROSS JOIN m CROSS JOIN n
+  WHERE f.term NOT IN ('spark', 'merge') AND f.fg_df >= 2)
+SELECT term, fg_df, bg_df, CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM scored WHERE score > 0
+ORDER BY score DESC, term ASC LIMIT {_K}
 """,
         # prefix term "s*" = one group of every matching lexicon term (df-
         # capped at 32 — 6 matches here, no truncation), AND'd with merge

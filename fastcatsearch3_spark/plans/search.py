@@ -818,6 +818,87 @@ def more_like_this(
     )
 
 
+def related_keywords(
+    spark: SparkSession,
+    store,
+    query: str | ParsedQuery,
+    fields_df: DataFrame,
+    top_n: int = 10,
+    min_fg_df: int = 2,
+    content_col: str = "content",
+) -> DataFrame:
+    """Related search keywords / significant terms: terms whose document
+    frequency inside the query's MATCH SET is disproportionate to their
+    corpus background frequency (the reference's related-keyword service
+    beside its popular-keyword statistics; Lucene/ES significant-terms
+    aggregation [M]).
+
+    Pipeline — all distributed, nothing collected:
+    ``match_doc_ids`` (boolean match, no top-k) → join with the stored
+    content so ONLY matched docs are re-analyzed (the reference reads
+    its term-vector store; same cost shape — |match| docs, not the
+    corpus) → per-term foreground df in one hash aggregate (map-side
+    combined) → equi-join against the published lexicon artifact for
+    the background df (vocab-sized, no corpus pass) → the one-row
+    match-set count broadcast by a cross join → score
+
+        score = (fg_df / m) · ln(fg_df · N / (m · bg_df))
+
+    i.e. foreground coverage × log-lift (PMI): terms must be both
+    common in the result set and rarer in the corpus. The query's own
+    analyzed terms and noise terms (fg_df < ``min_fg_df``) are
+    excluded; lift ≤ 1 (score ≤ 0) never surfaces; ties break term asc
+    for a deterministic, paginatable order.
+
+    At 100 TB the only per-corpus input is the lexicon (an artifact,
+    already partitioned); everything else scales with the match set.
+    """
+    from fastcatsearch3_spark.functions.analyzer import tokenize_udf
+
+    cfg = store.config()
+    pq = parse_query(query, cfg) if isinstance(query, str) else query
+    if pq is None or not pq.terms:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score double"
+        )
+    qterms = list(dict.fromkeys(pq.terms))
+    ids = match_doc_ids(spark, store, pq)
+    fg = (
+        fields_df.join(ids, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(tokenize_udf(cfg)(F.col(content_col))).alias("term"),
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("fg_df"))
+    )
+    m_df = ids.agg(F.count("*").cast("long").alias("m"))
+    n_docs = int(store.stats()["n_docs"])
+    lex = store.lexicon(spark).select(
+        "term", F.col("df").cast("long").alias("bg_df")
+    )
+    return (
+        fg.join(lex, "term")
+        .crossJoin(F.broadcast(m_df))
+        .where(~F.col("term").isin(qterms))
+        .where(F.col("fg_df") >= int(min_fg_df))
+        .withColumn(
+            "score",
+            (F.col("fg_df") / F.col("m"))
+            * F.log(
+                F.col("fg_df")
+                * F.lit(float(n_docs))
+                / (F.col("m") * F.col("bg_df"))
+            ),
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(top_n)
+        .select("term", "fg_df", "bg_df", "score")
+    )
+
+
 _MATCH_SCHEMA = "segment_id int, shard int, docno bigint, gid int, neg int"
 
 
