@@ -1589,6 +1589,26 @@ def _q_more_like_this(spark, sf_dir):  # Lucene-style MLT: seed doc's top
     return hits.select("doc_id", _e4())
 
 
+def _q_rescore(spark, sf_dir):
+    # two-phase ranking (Lucene QueryRescorer / ES rescore): recall-
+    # oriented OR first pass, top-50 window re-scored with the exact
+    # phrase; final = first + phrase score (score_mode total), window
+    # pushed into the second pass as an allow mask
+    from fastcatsearch3_spark.plans.search import rescore_topk
+
+    cfg_pos = EngineConfig(store_positions=True)
+    store = _packed_store(spark, sf_dir, cfg=cfg_pos)
+    out = rescore_topk(
+        spark, store, "table OR hash", '"table hash"', k=_K, window=50
+    )
+    return out.select(
+        "doc_id",
+        F.round(F.col("first_score") * 10000).cast("long").alias("first_e4"),
+        F.round(F.col("rescore") * 10000).cast("long").alias("rescore_e4"),
+        _e4(),
+    )
+
+
 def _q_related_keywords(spark, sf_dir):
     # significant terms over the Q-3 match set (the reference's related-
     # search-keywords service / ES significant-terms): foreground df from
@@ -1738,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facet_range": _q_search_facet_range,
         "more_like_this": _q_more_like_this,
         "related_keywords": _q_related_keywords,
+        "search_rescore": _q_rescore,
         "spell_suggest": _q_spell_suggest,
         "search_explain": _q_search_explain,
         "hybrid_search": _q_hybrid_search,
@@ -3132,6 +3153,38 @@ WHERE doc_id IN (
   ) WHERE nt = 2
 )
 GROUP BY lang ORDER BY cnt DESC, lang ASC
+""",
+        # two-phase rescore: BM25 OR(table, hash) top-50 window, re-scored
+        # by the exact phrase "table hash" (phrase score = BM25 AND over
+        # its terms on phrase-matching docs); final = first + second
+        "search_rescore": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('table', 'hash')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score,
+               count(DISTINCT term) AS nt FROM scored GROUP BY doc_id),
+win AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id ASC LIMIT 50),
+ph AS ({_PH_TABLE_HASH_SET}),
+resc AS (SELECT a.doc_id, a.score AS rescore FROM agg a
+         WHERE a.nt = 2 AND a.doc_id IN (SELECT doc_id FROM ph)),
+final AS (
+  SELECT w.doc_id, w.score AS first_score,
+         coalesce(r.rescore, 0.0) AS rescore,
+         w.score + coalesce(r.rescore, 0.0) AS score
+  FROM win w LEFT JOIN resc r USING (doc_id))
+SELECT doc_id,
+       CAST(round(first_score * 10000) AS BIGINT) AS first_e4,
+       CAST(round(rescore * 10000) AS BIGINT) AS rescore_e4,
+       CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM final ORDER BY score DESC, doc_id ASC LIMIT {_K}
 """,
         # significant terms over the AND(spark, merge) match set: fg df in
         # the match set vs bg df in the corpus, coverage x PMI log-lift,

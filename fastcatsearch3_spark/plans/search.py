@@ -899,6 +899,64 @@ def related_keywords(
     )
 
 
+def rescore_topk(
+    spark: SparkSession,
+    store,
+    query: str | ParsedQuery,
+    rescore_query: str | ParsedQuery,
+    k: int = 10,
+    window: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+) -> DataFrame:
+    """Two-phase ranking (Lucene QueryRescorer / ES rescore): a cheap
+    recall-oriented first pass picks the top-``window`` docs by BM25,
+    then only THAT window is re-scored with a more expensive secondary
+    query (typically an exact phrase or proximity query over the
+    positions sidecar):
+
+        final = query_weight · first + rescore_weight · second
+
+    Docs in the window that don't match the rescore query keep their
+    first-pass contribution (second = 0) — ES's ``score_mode: total``
+    default. The top-k of the re-ordered window is returned
+    (``k ≤ window`` required; output: doc_id, first_score, rescore,
+    score ordered by score desc, doc_id asc).
+
+    Scale shape: the second pass pushes the window into the kernels as
+    an allow MASK (docmap join → per-shard docno mask), so it decodes
+    only the rescore query's posting lists and scores only window docs
+    — cost tracks the window and the rescore terms, never the corpus.
+    The final blend is a broadcast-sized join (≤ window rows). The
+    rescore pass reads GLOBAL df/avgdl stats, so a window doc's second
+    score equals its unrestricted score for the rescore query."""
+    if k > window:
+        raise ValueError("k must be <= window")
+    win = search_index(spark, store, query, k=window)
+    resc = search_index(
+        spark,
+        store,
+        rescore_query,
+        allow_doc_ids=win.select("doc_id"),
+        _return_all=True,
+    ).withColumnRenamed("score", "rescore")
+    second = F.coalesce(F.col("rescore"), F.lit(0.0))
+    return (
+        win.join(F.broadcast(resc), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("score").alias("first_score"),
+            second.alias("rescore"),
+            (
+                F.lit(float(query_weight)) * F.col("score")
+                + F.lit(float(rescore_weight)) * second
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _MATCH_SCHEMA = "segment_id int, shard int, docno bigint, gid int, neg int"
 
 
