@@ -1609,6 +1609,25 @@ def _q_rescore(spark, sf_dir):
     )
 
 
+def _q_function_score(spark, sf_dir):
+    # static-field boost (ES function_score / field_value_factor): BM25
+    # over the full match set (_return_all — a doc-dependent factor breaks
+    # top-k early termination) x ln(1 + n_chars), global top-k
+    from fastcatsearch3_spark.plans.search import function_score
+
+    store = _packed_store(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = function_score(
+        spark, store, " ".join(_Q_AND2), docs, "n_chars", k=_K
+    )
+    return out.select(
+        "doc_id",
+        _e4(),
+        F.round(F.col("factor") * 10000).cast("long").alias("factor_e4"),
+        F.round(F.col("final") * 10000).cast("long").alias("final_e4"),
+    )
+
+
 def _q_related_keywords(spark, sf_dir):
     # significant terms over the Q-3 match set (the reference's related-
     # search-keywords service / ES significant-terms): foreground df from
@@ -1759,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": _q_more_like_this,
         "related_keywords": _q_related_keywords,
         "search_rescore": _q_rescore,
+        "function_score": _q_function_score,
         "spell_suggest": _q_spell_suggest,
         "search_explain": _q_search_explain,
         "hybrid_search": _q_hybrid_search,
@@ -3185,6 +3205,32 @@ SELECT doc_id,
        CAST(round(rescore * 10000) AS BIGINT) AS rescore_e4,
        CAST(round(score * 10000) AS BIGINT) AS score_e4
 FROM final ORDER BY score DESC, doc_id ASC LIMIT {_K}
+""",
+        # function score: BM25 AND(spark, merge) over the FULL match set
+        # (no top-k truncation before the boost) x ln(1 + n_chars)
+        "function_score": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'merge')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score,
+               count(DISTINCT term) AS nt FROM scored GROUP BY doc_id),
+boosted AS (
+  SELECT a.doc_id, a.score, ln(1.0 + d.n_chars) AS factor,
+         a.score * ln(1.0 + d.n_chars) AS final
+  FROM agg a JOIN documents d USING (doc_id) WHERE a.nt = 2)
+SELECT doc_id,
+       CAST(round(score * 10000) AS BIGINT) AS score_e4,
+       CAST(round(factor * 10000) AS BIGINT) AS factor_e4,
+       CAST(round(final * 10000) AS BIGINT) AS final_e4
+FROM boosted ORDER BY final DESC, doc_id ASC LIMIT {_K}
 """,
         # significant terms over the AND(spark, merge) match set: fg df in
         # the match set vs bg df in the corpus, coverage x PMI log-lift,

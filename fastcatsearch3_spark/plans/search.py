@@ -957,6 +957,59 @@ def rescore_topk(
     )
 
 
+def function_score(
+    spark: SparkSession,
+    store,
+    query: str | ParsedQuery,
+    fields_df: DataFrame,
+    factor_col: str,
+    k: int = 10,
+    modifier: str = "ln1p",
+    weight: float = 1.0,
+    boost_mode: str = "multiply",
+) -> DataFrame:
+    """Static-field relevance boost (ES function_score with
+    field_value_factor; Lucene FunctionScoreQuery): a stored numeric
+    field — recency, popularity, document length, pagerank — reshapes
+    the BM25 ranking:
+
+        factor = weight · modifier(field)      (ln1p | sqrt | none)
+        final  = bm25 ⊙ factor                 (multiply | sum)
+
+    A doc-dependent factor breaks top-k early termination (a low-BM25
+    doc may win after boosting), so the plan scores EVERY matching doc
+    (``_return_all`` — distributed, never collected), joins the factor
+    field by doc_id (column-pruned scan of one numeric column), and
+    takes the global top-k — orderBy+limit compiles to
+    TakeOrderedAndProject: each partition keeps k rows, the driver
+    merges. Cost tracks the match set, the factor read is one pruned
+    column. Output: (doc_id, score, factor, final) by (final desc,
+    doc_id asc)."""
+    if modifier not in ("ln1p", "sqrt", "none"):
+        raise ValueError("modifier must be 'ln1p', 'sqrt' or 'none'")
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError("boost_mode must be 'multiply' or 'sum'")
+    hits = search_index(spark, store, query, _return_all=True)
+    raw = F.col(factor_col).cast("double")
+    fx = {
+        "ln1p": F.log(F.lit(1.0) + raw),
+        "sqrt": F.sqrt(raw),
+        "none": raw,
+    }[modifier] * F.lit(float(weight))
+    factors = fields_df.select("doc_id", fx.alias("factor"))
+    combined = (
+        F.col("score") * F.col("factor")
+        if boost_mode == "multiply"
+        else F.col("score") + F.col("factor")
+    )
+    return (
+        hits.join(factors, "doc_id")
+        .select("doc_id", "score", "factor", combined.alias("final"))
+        .orderBy(F.desc("final"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 _MATCH_SCHEMA = "segment_id int, shard int, docno bigint, gid int, neg int"
 
 

@@ -1,0 +1,123 @@
+"""function_score: static stored-field boost folded into ranking (ES
+function_score / field_value_factor). A doc-dependent factor breaks top-k
+early termination, so the plan scores the FULL match set and takes the
+global top-k after boosting — pinned here against the unboosted path and
+a pandas recomputation. Driver-level oracle coverage is `function_score`."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from fastcatsearch3_spark.config import EngineConfig
+from fastcatsearch3_spark.index import IndexStore
+from fastcatsearch3_spark.operators.build import build_index
+from fastcatsearch3_spark.operators.ingest import normalize_corpus
+from fastcatsearch3_spark.plans.search import function_score, search_index
+
+CFG = EngineConfig(num_shards=2)
+
+
+@pytest.fixture(scope="module")
+def corpus_pd() -> pd.DataFrame:
+    rows = [
+        (1, "spark merge table", 10),
+        (2, "spark merge line", 5000),
+        (3, "spark merge merge", 40),
+        (4, "spark slow value", 70),
+        (5, "spark merge slow", 900),
+        (6, "table line value", 20),
+    ]
+    return pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "src1",
+            "n_chars": [r[2] for r in rows],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark, corpus_pd, tmp_path_factory) -> IndexStore:
+    root = str(tmp_path_factory.mktemp("idx"))
+    build_index(
+        spark, normalize_corpus(spark.createDataFrame(corpus_pd)), root, CFG
+    )
+    return IndexStore(root)
+
+
+def _fields(spark, corpus_pd):
+    return spark.createDataFrame(corpus_pd[["doc_id", "n_chars"]])
+
+
+def test_function_score_reorders_by_factor(spark, store, corpus_pd):
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search_index(
+            spark, store, "spark merge", k=10, mode="taat"
+        ).collect()
+    }
+    got = function_score(
+        spark, store, "spark merge", _fields(spark, corpus_pd), "n_chars", k=10
+    ).collect()
+    assert {r["doc_id"] for r in got} == set(base)
+    exp = sorted(
+        (
+            (
+                d,
+                base[d],
+                math.log(
+                    1.0
+                    + float(
+                        corpus_pd.loc[corpus_pd.doc_id == d, "n_chars"].iloc[0]
+                    )
+                ),
+            )
+            for d in base
+        ),
+        key=lambda t: (-(t[1] * t[2]), t[0]),
+    )
+    assert [r["doc_id"] for r in got] == [d for d, _, _ in exp]
+    for r, (_, s, f) in zip(got, exp):
+        assert r["score"] == pytest.approx(s, abs=1e-9)
+        assert r["factor"] == pytest.approx(f, abs=1e-12)
+        assert r["final"] == pytest.approx(s * f, abs=1e-9)
+    # the big doc (n_chars=5000) must have been promoted to rank 1
+    assert got[0]["doc_id"] == 2
+
+
+def test_function_score_sum_and_weight(spark, store, corpus_pd):
+    got = function_score(
+        spark,
+        store,
+        "spark merge",
+        _fields(spark, corpus_pd),
+        "n_chars",
+        k=10,
+        modifier="sqrt",
+        weight=0.5,
+        boost_mode="sum",
+    ).collect()
+    for r in got:
+        n = float(
+            corpus_pd.loc[corpus_pd.doc_id == r["doc_id"], "n_chars"].iloc[0]
+        )
+        assert r["factor"] == pytest.approx(0.5 * math.sqrt(n), abs=1e-12)
+        assert r["final"] == pytest.approx(r["score"] + r["factor"], abs=1e-12)
+
+
+def test_function_score_bad_args(spark, store, corpus_pd):
+    with pytest.raises(ValueError):
+        function_score(
+            spark, store, "spark", _fields(spark, corpus_pd), "n_chars",
+            modifier="exp",
+        )
+    with pytest.raises(ValueError):
+        function_score(
+            spark, store, "spark", _fields(spark, corpus_pd), "n_chars",
+            boost_mode="max",
+        )
