@@ -307,6 +307,42 @@ def main() -> None:
         search_index(spark, store, "s?a* merge", k=10).collect()
         timings["q_wildcard"] = round(time.monotonic() - t0, 3)
 
+        # --- late-r4 serving additions: rescore window, function score,
+        # related keywords (min-of-2 warm passes; tracked as separate keys
+        # so the p50/p95 mix stays comparable across rounds) -------------
+        from fastcatsearch3_spark.plans.search import (
+            function_score,
+            related_keywords,
+            rescore_topk,
+        )
+
+        reps = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            rescore_topk(
+                spark, store_pos, "spark OR merge", '"spark merge"',
+                k=10, window=50,
+            ).collect()
+            reps.append(time.monotonic() - t0)
+        timings["q_rescore"] = round(min(reps), 3)
+        reps = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            function_score(
+                spark, store, "spark merge",
+                docs.select("doc_id", "n_chars"), "n_chars", k=10,
+            ).collect()
+            reps.append(time.monotonic() - t0)
+        timings["q_function_score"] = round(min(reps), 3)
+        reps = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            related_keywords(
+                spark, store, "spark merge", corpus, top_n=10
+            ).collect()
+            reps.append(time.monotonic() - t0)
+        timings["q_related"] = round(min(reps), 3)
+
         # --- integrity audit (operators/fsck.py) -----------------------
         from fastcatsearch3_spark.operators.fsck import fsck_index
 

@@ -157,6 +157,41 @@ class Collection:
 
         return suggest_terms(self.spark, self.store, prefix, k=k)
 
+    def rescore(
+        self, query, rescore_query, k: int = 10, window: int = 100, **kw
+    ) -> DataFrame:
+        """Two-phase ranking (plans/search.rescore_topk — Lucene
+        QueryRescorer): BM25 top-``window`` re-scored by a secondary
+        (phrase/proximity) query."""
+        from fastcatsearch3_spark.plans.search import rescore_topk
+
+        return rescore_topk(
+            self.spark, self.store, query, rescore_query,
+            k=k, window=window, **kw,
+        )
+
+    def function_score(
+        self, query, fields_df: DataFrame, factor_col: str, k: int = 10, **kw
+    ) -> DataFrame:
+        """Static stored-field boost (plans/search.function_score — ES
+        field_value_factor) over the full match set."""
+        from fastcatsearch3_spark.plans.search import function_score
+
+        return function_score(
+            self.spark, self.store, query, fields_df, factor_col, k=k, **kw
+        )
+
+    def related(
+        self, query, fields_df: DataFrame, top_n: int = 10, **kw
+    ) -> DataFrame:
+        """Related/significant keywords for a query's match set
+        (plans/search.related_keywords)."""
+        from fastcatsearch3_spark.plans.search import related_keywords
+
+        return related_keywords(
+            self.spark, self.store, query, fields_df, top_n=top_n, **kw
+        )
+
     def explain(self, query, k: int = 10, doc_ids=None) -> DataFrame:
         """Per-(doc, term) BM25 partials for the query's top-k docs
         (plans/search.explain_scores — Lucene IndexSearcher.explain)."""

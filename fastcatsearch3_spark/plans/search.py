@@ -863,13 +863,17 @@ def related_keywords(
         )
     qterms = list(dict.fromkeys(pq.terms))
     ids = match_doc_ids(spark, store, pq)
+    # per-doc dedupe happens BEFORE the explode via array_distinct (a
+    # narrow map — no shuffle), so the only exchange is the per-term
+    # count's map-side-combined aggregate; a row-level distinct here
+    # would cost a second, wider shuffle on (doc_id, term)
     fg = (
         fields_df.join(ids, "doc_id")
         .select(
-            "doc_id",
-            F.explode(tokenize_udf(cfg)(F.col(content_col))).alias("term"),
+            F.explode(
+                F.array_distinct(tokenize_udf(cfg)(F.col(content_col)))
+            ).alias("term")
         )
-        .distinct()
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("fg_df"))
     )

@@ -192,3 +192,60 @@ def test_collection_explain_and_fsck(spark, tmp_path):
         assert sums[r["doc_id"]] == _pt.approx(r["score"], abs=1e-9)
     report = col.fsck(corpus=corpus)
     assert report["ok"], report
+
+
+def test_collection_rescore_function_score_related(spark, tmp_path):
+    """The facade exposes the late-r4 serving ops; each reconciles with
+    its plans/search twin on the same store."""
+    import pytest as _pt
+
+    from fastcatsearch3_spark.plans.search import (
+        function_score,
+        related_keywords,
+        rescore_topk,
+    )
+
+    col = Collection(
+        spark,
+        str(tmp_path / "idx"),
+        EngineConfig(num_shards=2, store_positions=True),
+        cache_size=0,
+    )
+    raw = spark.createDataFrame(
+        _pdf(
+            [
+                (1, "table hash join"),
+                (2, "hash table join"),
+                (3, "table merge hash"),
+                (4, "table hash table hash"),
+                (5, "table value line"),
+            ]
+        )
+    )
+    corpus = normalize_corpus(raw)
+    col.build(corpus)
+
+    got = col.rescore("table OR hash", '"table hash"', k=5, window=5)
+    exp = rescore_topk(
+        spark, col.store, "table OR hash", '"table hash"', k=5, window=5
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in exp.collect()
+    ]
+
+    fields = raw.select("doc_id", "n_chars")
+    got = col.function_score("table", fields, "n_chars", k=5).collect()
+    exp = function_score(
+        spark, col.store, "table", fields, "n_chars", k=5
+    ).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+    for g, e in zip(got, exp):
+        assert g["final"] == _pt.approx(e["final"], abs=1e-12)
+
+    got = col.related("table hash", corpus, top_n=5, min_fg_df=1).collect()
+    exp = related_keywords(
+        spark, col.store, "table hash", corpus, top_n=5, min_fg_df=1
+    ).collect()
+    assert [(r["term"], r["fg_df"], r["bg_df"]) for r in got] == [
+        (r["term"], r["fg_df"], r["bg_df"]) for r in exp
+    ]
