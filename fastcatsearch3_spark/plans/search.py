@@ -936,7 +936,17 @@ def rescore_topk(
     score equals its unrestricted score for the rescore query."""
     if k > window:
         raise ValueError("k must be <= window")
-    win = search_index(spark, store, query, k=window)
+    # the window is result-sized (≤ window rows) and is needed TWICE —
+    # as the second pass's allow mask and in the final blend — so pin it
+    # to the driver once (the hybrid_search pattern); leaving it lazy
+    # would re-execute the whole first-pass search for each use
+    win_rows = search_index(spark, store, query, k=window).collect()
+    if not win_rows:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, first_score double, rescore double, score double",
+        )
+    win = spark.createDataFrame(win_rows, "doc_id long, score double")
     resc = search_index(
         spark,
         store,
