@@ -1628,6 +1628,26 @@ def _q_function_score(spark, sf_dir):
     )
 
 
+def _q_function_score_decay(spark, sf_dir):
+    # decay half of function_score (ES gauss decay): factor halves at
+    # |n_chars - origin| = scale; same full-match-set plan as the
+    # field_value_factor arm
+    from fastcatsearch3_spark.plans.search import function_score
+
+    store = _packed_store(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = function_score(
+        spark, store, " ".join(_Q_AND2), docs, "n_chars",
+        k=_K, modifier="gauss", origin=300.0, scale=100.0,
+    )
+    return out.select(
+        "doc_id",
+        _e4(),
+        F.round(F.col("factor") * 10000).cast("long").alias("factor_e4"),
+        F.round(F.col("final") * 10000).cast("long").alias("final_e4"),
+    )
+
+
 def _q_related_keywords(spark, sf_dir):
     # significant terms over the Q-3 match set (the reference's related-
     # search-keywords service / ES significant-terms): foreground df from
@@ -1861,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_search": _q_snapshot_search,
         "search_after": _q_search_after,
         "spell_correct": _q_spell_correct,
+        "function_score_decay": _q_function_score_decay,
     }
 
 
@@ -3231,6 +3252,35 @@ agg AS (SELECT doc_id, sum(partial) AS score,
 boosted AS (
   SELECT a.doc_id, a.score, ln(1.0 + d.n_chars) AS factor,
          a.score * ln(1.0 + d.n_chars) AS final
+  FROM agg a JOIN documents d USING (doc_id) WHERE a.nt = 2)
+SELECT doc_id,
+       CAST(round(score * 10000) AS BIGINT) AS score_e4,
+       CAST(round(factor * 10000) AS BIGINT) AS factor_e4,
+       CAST(round(final * 10000) AS BIGINT) AS final_e4
+FROM boosted ORDER BY final DESC, doc_id ASC LIMIT {_K}
+""",
+        # gauss decay function_score: factor = exp(-ln2 * d^2) with
+        # d = |n_chars - 300| / 100, over the same full match set
+        "function_score_decay": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'merge')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score,
+               count(DISTINCT term) AS nt FROM scored GROUP BY doc_id),
+boosted AS (
+  SELECT a.doc_id, a.score,
+         exp(-ln(2.0) * (abs(d.n_chars - 300.0) / 100.0)
+                      * (abs(d.n_chars - 300.0) / 100.0)) AS factor,
+         a.score * exp(-ln(2.0) * (abs(d.n_chars - 300.0) / 100.0)
+                                * (abs(d.n_chars - 300.0) / 100.0)) AS final
   FROM agg a JOIN documents d USING (doc_id) WHERE a.nt = 2)
 SELECT doc_id,
        CAST(round(score * 10000) AS BIGINT) AS score_e4,

@@ -981,14 +981,25 @@ def function_score(
     modifier: str = "ln1p",
     weight: float = 1.0,
     boost_mode: str = "multiply",
+    origin: float | None = None,
+    scale: float | None = None,
 ) -> DataFrame:
-    """Static-field relevance boost (ES function_score with
-    field_value_factor; Lucene FunctionScoreQuery): a stored numeric
-    field — recency, popularity, document length, pagerank — reshapes
-    the BM25 ranking:
+    """Static-field relevance boost (ES function_score; Lucene
+    FunctionScoreQuery): a stored numeric field — recency, popularity,
+    document length, pagerank — reshapes the BM25 ranking:
 
-        factor = weight · modifier(field)      (ln1p | sqrt | none)
+        factor = weight · modifier(field)
         final  = bm25 ⊙ factor                 (multiply | sum)
+
+    ``modifier`` covers both function_score families:
+
+      * field_value_factor — ``ln1p`` | ``sqrt`` | ``none`` of the raw
+        value;
+      * decay around ``origin`` (requires ``origin`` + ``scale``; the
+        factor halves at distance ``scale``, ES's decay=0.5 default) —
+        ``gauss``  exp(−ln2·(|x−origin|/scale)²),
+        ``exp``    exp(−ln2·|x−origin|/scale),
+        ``linear`` max(0, 1 − |x−origin|/(2·scale)).
 
     A doc-dependent factor breaks top-k early termination (a low-BM25
     doc may win after boosting), so the plan scores EVERY matching doc
@@ -999,17 +1010,35 @@ def function_score(
     merges. Cost tracks the match set, the factor read is one pruned
     column. Output: (doc_id, score, factor, final) by (final desc,
     doc_id asc)."""
-    if modifier not in ("ln1p", "sqrt", "none"):
-        raise ValueError("modifier must be 'ln1p', 'sqrt' or 'none'")
+    import math
+
+    decay_mods = ("gauss", "exp", "linear")
+    if modifier not in ("ln1p", "sqrt", "none") + decay_mods:
+        raise ValueError(
+            "modifier must be 'ln1p', 'sqrt', 'none', "
+            "'gauss', 'exp' or 'linear'"
+        )
+    if modifier in decay_mods and (origin is None or not scale):
+        raise ValueError(f"modifier {modifier!r} requires origin and scale")
     if boost_mode not in ("multiply", "sum"):
         raise ValueError("boost_mode must be 'multiply' or 'sum'")
     hits = search_index(spark, store, query, _return_all=True)
     raw = F.col(factor_col).cast("double")
-    fx = {
-        "ln1p": F.log(F.lit(1.0) + raw),
-        "sqrt": F.sqrt(raw),
-        "none": raw,
-    }[modifier] * F.lit(float(weight))
+    if modifier in decay_mods:
+        dist = F.abs(raw - F.lit(float(origin))) / F.lit(float(scale))
+        fx = {
+            "gauss": F.exp(F.lit(-math.log(2.0)) * dist * dist),
+            "exp": F.exp(F.lit(-math.log(2.0)) * dist),
+            "linear": F.greatest(
+                F.lit(0.0), F.lit(1.0) - dist / F.lit(2.0)
+            ),
+        }[modifier] * F.lit(float(weight))
+    else:
+        fx = {
+            "ln1p": F.log(F.lit(1.0) + raw),
+            "sqrt": F.sqrt(raw),
+            "none": raw,
+        }[modifier] * F.lit(float(weight))
     factors = fields_df.select("doc_id", fx.alias("factor"))
     combined = (
         F.col("score") * F.col("factor")

@@ -121,3 +121,63 @@ def test_function_score_bad_args(spark, store, corpus_pd):
             spark, store, "spark", _fields(spark, corpus_pd), "n_chars",
             boost_mode="max",
         )
+
+
+def test_function_score_gauss_decay(spark, store, corpus_pd):
+    got = function_score(
+        spark,
+        store,
+        "spark merge",
+        _fields(spark, corpus_pd),
+        "n_chars",
+        k=10,
+        modifier="gauss",
+        origin=40.0,
+        scale=30.0,
+    ).collect()
+    assert got
+    for r in got:
+        n = float(
+            corpus_pd.loc[corpus_pd.doc_id == r["doc_id"], "n_chars"].iloc[0]
+        )
+        d = abs(n - 40.0) / 30.0
+        assert r["factor"] == pytest.approx(
+            math.exp(-math.log(2.0) * d * d), abs=1e-12
+        )
+        assert r["final"] == pytest.approx(r["score"] * r["factor"], abs=1e-9)
+    # the on-origin doc (n_chars=40) carries factor 1.0 and wins
+    assert got[0]["doc_id"] == 3
+    # half-life pin: at |x-origin| == scale the factor is exactly 0.5
+    exp_half = {
+        r["doc_id"]: r["factor"]
+        for r in function_score(
+            spark, store, "spark merge", _fields(spark, corpus_pd),
+            "n_chars", k=10, modifier="exp", origin=40.0, scale=30.0,
+        ).collect()
+    }
+    lin = {
+        r["doc_id"]: r["factor"]
+        for r in function_score(
+            spark, store, "spark merge", _fields(spark, corpus_pd),
+            "n_chars", k=10, modifier="linear", origin=10.0, scale=15.0,
+        ).collect()
+    }
+    # doc 3: n_chars=40, |40-10|/15 = 2 → linear max(0, 1 - 2/2) = 0
+    assert lin[3] == pytest.approx(0.0, abs=1e-12)
+    # doc 3 sits ON the origin → exp factor exactly 1.0; doc 1 (n_chars
+    # 10) is at distance == scale → the half-life pin, factor 0.5
+    assert exp_half[3] == pytest.approx(1.0, abs=1e-12)
+    assert exp_half[1] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_function_score_decay_requires_origin_scale(spark, store, corpus_pd):
+    with pytest.raises(ValueError):
+        function_score(
+            spark, store, "spark", _fields(spark, corpus_pd), "n_chars",
+            modifier="gauss",
+        )
+    with pytest.raises(ValueError):
+        function_score(
+            spark, store, "spark", _fields(spark, corpus_pd), "n_chars",
+            modifier="exp", origin=10.0, scale=0.0,
+        )
