@@ -563,6 +563,18 @@ def explain_scores(
         .where(F.col("doc_id").isin([int(d) for d in doc_ids]))
         .select("segment_id", "shard", "docno", "doc_id")
     )
+    # Mirror search_index's apply_deletes path: after an upsert/delete the
+    # docmap still carries the tombstoned older (segment, shard, docno)
+    # copies of a doc_id; without the epoch denied mask those dead rows
+    # would join the decoded postings and break the Σ partial == score
+    # invariant exactly in the scenarios explain exists to debug.
+    denied = store.denied_mask(spark)
+    if denied is not None:
+        targets = targets.join(
+            denied.select("segment_id", "shard", "docno"),
+            ["segment_id", "shard", "docno"],
+            "left_anti",
+        )
     entries = (
         store.postings(spark)
         .where(F.col("term").isin(terms))
@@ -846,7 +858,9 @@ def related_keywords(
 
     i.e. foreground coverage × log-lift (PMI): terms must be both
     common in the result set and rarer in the corpus. The query's own
-    analyzed terms and noise terms (fg_df < ``min_fg_df``) are
+    analyzed terms — including the lexicon expansions of any prefix /
+    wildcard / fuzzy placeholders, which are the terms that actually
+    drove the match set — and noise terms (fg_df < ``min_fg_df``) are
     excluded; lift ≤ 1 (score ≤ 0) never surfaces; ties break term asc
     for a deterministic, paginatable order.
 
@@ -861,7 +875,20 @@ def related_keywords(
         return spark.createDataFrame(
             [], "term string, fg_df long, bg_df long, score double"
         )
-    qterms = list(dict.fromkeys(pq.terms))
+    # expand prefix/wildcard/fuzzy placeholders BEFORE computing the
+    # exclusion set: the lexicon-expanded terms are the ones that drove
+    # the match set, and surfacing them as top "related" keywords would
+    # just echo the query back (they trivially dominate foreground df)
+    pq = _expand_prefixes(spark, store, pq, cfg)
+    if pq is None:  # an AND-required placeholder matched nothing
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, score double"
+        )
+    qterms = list(
+        dict.fromkeys(
+            t.split(":", 1)[1] if ":" in t else t for t in pq.terms
+        )
+    )
     ids = match_doc_ids(spark, store, pq)
     # per-doc dedupe happens BEFORE the explode via array_distinct (a
     # narrow map — no shuffle), so the only exchange is the per-term
@@ -983,6 +1010,7 @@ def function_score(
     boost_mode: str = "multiply",
     origin: float | None = None,
     scale: float | None = None,
+    missing: float | None = None,
 ) -> DataFrame:
     """Static-field relevance boost (ES function_score; Lucene
     FunctionScoreQuery): a stored numeric field — recency, popularity,
@@ -1009,7 +1037,18 @@ def function_score(
     TakeOrderedAndProject: each partition keeps k rows, the driver
     merges. Cost tracks the match set, the factor read is one pruned
     column. Output: (doc_id, score, factor, final) by (final desc,
-    doc_id asc)."""
+    doc_id asc).
+
+    Missing / malformed field policy (the join is a LEFT join — a
+    matching doc is never silently dropped because its factor row is
+    absent): when a doc has no ``fields_df`` row or a null field value,
+    ``missing`` (if given) substitutes the raw field value through the
+    modifier, ES ``field_value_factor.missing``; otherwise the factor
+    falls back to the ⊙-neutral element (1 for multiply, 0 for sum) so
+    the doc keeps its plain BM25 score. Negative raw values are clamped
+    to 0 before ``sqrt``/``ln1p`` (ES fails the whole query on such a
+    row; at cluster scale one bad row must not kill the search), so
+    finals are always finite and the ordering total."""
     import math
 
     decay_mods = ("gauss", "exp", "linear")
@@ -1023,7 +1062,14 @@ def function_score(
     if boost_mode not in ("multiply", "sum"):
         raise ValueError("boost_mode must be 'multiply' or 'sum'")
     hits = search_index(spark, store, query, _return_all=True)
-    raw = F.col(factor_col).cast("double")
+    # the modifier is evaluated AFTER the left join so that `missing`
+    # covers both null field values and wholly absent fields_df rows
+    fields = fields_df.select(
+        "doc_id", F.col(factor_col).cast("double").alias("_raw")
+    )
+    raw = F.col("_raw")
+    if missing is not None:
+        raw = F.coalesce(raw, F.lit(float(missing)))
     if modifier in decay_mods:
         dist = F.abs(raw - F.lit(float(origin))) / F.lit(float(scale))
         fx = {
@@ -1034,20 +1080,28 @@ def function_score(
             ),
         }[modifier] * F.lit(float(weight))
     else:
+        # clamp negatives so sqrt/ln1p never emit NaN into the sort key
+        # (when/otherwise, NOT greatest — greatest(null, 0) is 0 and would
+        # swallow the null that marks a missing row for the neutral fill)
+        nonneg = F.when(raw < 0, F.lit(0.0)).otherwise(raw)
         fx = {
-            "ln1p": F.log(F.lit(1.0) + raw),
-            "sqrt": F.sqrt(raw),
+            "ln1p": F.log(F.lit(1.0) + nonneg),
+            "sqrt": F.sqrt(nonneg),
             "none": raw,
         }[modifier] * F.lit(float(weight))
-    factors = fields_df.select("doc_id", fx.alias("factor"))
+    neutral = 1.0 if boost_mode == "multiply" else 0.0
+    factor = F.coalesce(fx, F.lit(neutral))
     combined = (
-        F.col("score") * F.col("factor")
+        F.col("score") * factor
         if boost_mode == "multiply"
-        else F.col("score") + F.col("factor")
+        else F.col("score") + factor
     )
     return (
-        hits.join(factors, "doc_id")
-        .select("doc_id", "score", "factor", combined.alias("final"))
+        hits.join(fields, "doc_id", "left")
+        .select(
+            "doc_id", "score", factor.alias("factor"),
+            combined.alias("final"),
+        )
         .orderBy(F.desc("final"), F.asc("doc_id"))
         .limit(k)
     )

@@ -96,3 +96,39 @@ def test_empty_cases(spark, tmp_path):
     assert (
         explain_scores(spark, store, "spark merge", doc_ids=[]).count() == 0
     )
+
+
+def test_explain_reconciles_after_upsert(spark, tmp_path):
+    """ADVICE r04: the tombstoned pre-upsert copy of a doc_id must NOT
+    contribute stale per-term rows — explain applies the same epoch
+    denied mask as search_index."""
+    from fastcatsearch3_spark.streaming import incremental as inc
+
+    store = _build(spark, tmp_path)
+    upd = pd.DataFrame(
+        {
+            "doc_id": [3],
+            "text": ["merge spark window"],
+            "lang": "en",
+            "source": "srcalpha",
+            "n_chars": [18],
+        }
+    )
+    inc.append_segment(spark, store.root, spark.createDataFrame(upd))
+    store = IndexStore(store.root)
+    ex = _assert_reconciles(spark, store, "spark merge")
+    # without the mask, doc 3 shows BOTH its live and dead copies:
+    # duplicated (doc_id, term) rows and a broken partial sum
+    assert not ex.duplicated(["doc_id", "term"]).any()
+
+
+def test_explain_reconciles_after_delete(spark, tmp_path):
+    from fastcatsearch3_spark.streaming import incremental as inc
+
+    store = _build(spark, tmp_path)
+    tomb = pd.DataFrame({"repo": ["srcalpha"], "path": ["doc/2.txt"]})
+    n = inc.delete_by_pk(spark, store.root, spark.createDataFrame(tomb))
+    assert n == 1
+    store = IndexStore(store.root)
+    ex = _assert_reconciles(spark, store, "merge table")
+    assert 2 not in set(ex["doc_id"])

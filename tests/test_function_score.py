@@ -181,3 +181,64 @@ def test_function_score_decay_requires_origin_scale(spark, store, corpus_pd):
             spark, store, "spark", _fields(spark, corpus_pd), "n_chars",
             modifier="exp", origin=10.0, scale=0.0,
         )
+
+
+def test_function_score_missing_and_negative_fields(spark, store, corpus_pd):
+    """ADVICE r04: a matching doc with no fields_df row keeps its BM25
+    score (left join, neutral factor); negative raw values are clamped so
+    sqrt/ln1p never emit NaN finals."""
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search_index(spark, store, "spark merge", k=10).collect()
+    }
+    fpd = corpus_pd[["doc_id", "n_chars"]].copy()
+    fpd = fpd[fpd["doc_id"] != 1]  # doc 1: no factor row at all
+    fpd.loc[fpd["doc_id"] == 3, "n_chars"] = -50  # doc 3: negative value
+    fields = spark.createDataFrame(fpd)
+    out = function_score(
+        spark, store, "spark merge", fields, "n_chars", k=10
+    ).toPandas()
+    got = out.set_index("doc_id")
+    assert set(base) <= set(got.index)  # nothing silently dropped
+    # missing row -> multiplicative neutral: plain BM25 survives
+    assert got.loc[1, "factor"] == pytest.approx(1.0)
+    assert got.loc[1, "final"] == pytest.approx(base[1], abs=1e-9)
+    # negative value clamped: ln1p(0) = 0, never NaN
+    assert got.loc[3, "factor"] == pytest.approx(0.0)
+    assert not out["final"].isna().any()
+
+
+def test_function_score_missing_substitute(spark, store, corpus_pd):
+    """ES field_value_factor.missing: substitute a raw value through the
+    modifier for docs without a field row."""
+    fpd = corpus_pd[["doc_id", "n_chars"]]
+    fields = spark.createDataFrame(fpd[fpd["doc_id"] != 1])
+    out = (
+        function_score(
+            spark, store, "spark merge", fields, "n_chars",
+            k=10, missing=99.0,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "factor"] == pytest.approx(math.log(100.0))
+
+
+def test_function_score_sum_missing_neutral(spark, store, corpus_pd):
+    base = {
+        r["doc_id"]: r["score"]
+        for r in search_index(spark, store, "spark merge", k=10).collect()
+    }
+    fpd = corpus_pd[["doc_id", "n_chars"]]
+    fields = spark.createDataFrame(fpd[fpd["doc_id"] != 1])
+    out = (
+        function_score(
+            spark, store, "spark merge", fields, "n_chars",
+            k=10, boost_mode="sum",
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # additive neutral: factor 0, final == plain BM25
+    assert out.loc[1, "factor"] == pytest.approx(0.0)
+    assert out.loc[1, "final"] == pytest.approx(base[1], abs=1e-9)

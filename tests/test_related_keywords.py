@@ -129,3 +129,17 @@ def test_related_keywords_min_fg_df(spark, store, corpus_pd):
 def test_related_keywords_empty_query(spark, store, corpus_pd):
     fields = normalize_corpus(spark.createDataFrame(corpus_pd))
     assert related_keywords(spark, store, "", fields).count() == 0
+
+
+def test_related_excludes_placeholder_expansions(spark, store, corpus_pd):
+    """ADVICE r04: a prefix/wildcard query's lexicon EXPANSIONS drive the
+    match set and must be excluded, not just the literal placeholder."""
+    fields = normalize_corpus(spark.createDataFrame(corpus_pd))
+    got = related_keywords(
+        spark, store, "spar* merge", fields, top_n=50, min_fg_df=1
+    )
+    terms = {r["term"] for r in got.collect()}
+    # 'spark' is the expansion of 'spar*' — present in every matched doc,
+    # so without the fix it would top the list
+    assert "spark" not in terms and "merge" not in terms
+    assert terms  # other significant terms still surface
