@@ -385,6 +385,40 @@ def _q_tf_cjk_bigrams(spark, sf_dir):  # F-3: CJK overlapping bigrams
     )
 
 
+def _q_tf_korean_morph(spark, sf_dir):  # F-1: dictionary-driven Korean morph
+    # two DISTINCT dictionary-composed Korean eojeols appended per doc,
+    # picked by doc_id: e[i] and e[3-i] with i = doc_id % 4. The four
+    # eojeols' morpheme sets are disjoint, so the oracle can map each
+    # eojeol to compile-time morpheme constants (tf=1 per morpheme) and
+    # union with the base ASCII token counts.
+    eojeols = F.array(
+        F.lit("삼성전자가"),      # → 삼성전자, 삼성, 전자 (compound + josa)
+        F.lit("노트북을"),        # → 노트북 (josa stripped)
+        F.lit("검색엔진은"),      # → 검색엔진, 검색, 엔진
+        F.lit("인공지능으로"),    # → 인공지능, 인공, 지능
+    )
+    i = F.pmod(F.col("doc_id"), F.lit(4)).cast("int")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.element_at(eojeols, i + F.lit(1)),
+            F.lit(" "),
+            F.element_at(eojeols, F.lit(4) - i),
+        ).alias("content"),
+    )
+    corpus = d.withColumn("repo", F.lit("x")).withColumn(
+        "path", F.col("doc_id").cast("string")
+    ).withColumn("commit", F.lit("c")).withColumn("lang", F.lit("ko"))
+    from fastcatsearch3_spark.operators.ingest import normalize_corpus
+
+    kcfg = EngineConfig(analyzer="korean_morph")
+    return sql_bm25.tf_table(normalize_corpus(corpus), kcfg).select(
+        "doc_id", "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
 def _q_lexicon(spark, sf_dir):  # I-7 / A-5: term → df, cf
     return sql_bm25.lexicon_df(_corpus(spark, sf_dir), CFG).select(
         "term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf")
@@ -1818,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_quantized_topk": _q_ann_quantized,
         "tf_cjk_bigrams": _q_tf_cjk_bigrams,
+        "tf_korean_morph": _q_tf_korean_morph,
         "filter_range": _q_filter_range,
         # ------------------- end of driver-checked window -------------------
         # (all driver-green in r03 or judge-green; rotated out to make room
@@ -2541,6 +2576,25 @@ SELECT doc_id, term, tf FROM ({_TF})
 UNION ALL
 SELECT doc_id, unnest(['数据', '据库', '库引', '引擎']) AS term,
        CAST(1 AS BIGINT) AS tf
+FROM documents
+""",
+        # morph segmentation replicated by construction: each synthesized
+        # eojeol maps to fixed morphemes (compound whole + constituents,
+        # particles stripped); the two eojeols per doc are always distinct
+        # and morpheme-disjoint, so every Korean term has tf=1
+        "tf_korean_morph": f"""
+SELECT doc_id, term, tf FROM ({_TF})
+UNION ALL
+SELECT doc_id, unnest(
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN ['삼성전자', '삼성', '전자'] WHEN 1 THEN ['노트북']
+    WHEN 2 THEN ['검색엔진', '검색', '엔진']
+    ELSE ['인공지능', '인공', '지능'] END ||
+  CASE CAST(3 - doc_id % 4 AS INT)
+    WHEN 0 THEN ['삼성전자', '삼성', '전자'] WHEN 1 THEN ['노트북']
+    WHEN 2 THEN ['검색엔진', '검색', '엔진']
+    ELSE ['인공지능', '인공', '지능'] END) AS term,
+  CAST(1 AS BIGINT) AS tf
 FROM documents
 """,
         "dedup_embedding_cosine": _emb_pairs_sql(),

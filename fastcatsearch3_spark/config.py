@@ -13,7 +13,11 @@ from __future__ import annotations
 from dataclasses import asdict, dataclass, field
 
 
-ANALYZER_VERSION = "1.0.0"
+# 1.1.0: dictionary-driven Korean morphological analyzer (korean_morph)
+# joined the registry; dictionary contents/version ride the config into
+# every manifest, so segment_complete() rejects resume across dictionary
+# changes (the reindex guard).
+ANALYZER_VERSION = "1.1.0"
 
 
 @dataclass(frozen=True)
@@ -64,6 +68,11 @@ class EngineConfig:
     hydrate_pushdown_min_docs: int = 10_000_000
     analyzer: str = "standard"
     analyzer_version: str = ANALYZER_VERSION
+    # user dictionary entries for the korean_morph analyzer —
+    # "word" or "compound=part1+part2" (fastcatsearch's user-dictionary
+    # format [M]). Part of the config on purpose: a dictionary edit
+    # changes index bytes, so it must trip the manifest reindex guard.
+    user_dict: tuple[str, ...] = field(default_factory=tuple)
     # on-disk layout revision: bump whenever docmap/postings schema or blob
     # format changes, so resume (I-8) rejects segments built under an older
     # layout instead of silently mixing formats
@@ -74,6 +83,7 @@ class EngineConfig:
         d = asdict(self)
         d["stopwords"] = list(d["stopwords"])
         d["indexed_fields"] = list(d["indexed_fields"])
+        d["user_dict"] = list(d["user_dict"])
         return d
 
     @classmethod
@@ -83,4 +93,6 @@ class EngineConfig:
             d["stopwords"] = tuple(d["stopwords"])
         if "indexed_fields" in d and d["indexed_fields"] is not None:
             d["indexed_fields"] = tuple(d["indexed_fields"])
+        if "user_dict" in d and d["user_dict"] is not None:
+            d["user_dict"] = tuple(d["user_dict"])
         return cls(**d)

@@ -101,15 +101,14 @@ def tokenize_series(
 
 
 def tokenize_text(text: str, cfg: EngineConfig | None = None) -> list[str]:
-    """Single-string convenience used on the query side (driver, Q-2)."""
+    """Single-string convenience used on the query side (driver, Q-2).
+
+    Dispatches through the F-1 registry so the query analyzes under the
+    SAME chain the index was built with (cfg.analyzer travels in the
+    index manifest) — a korean_morph index must see morph query terms,
+    not standard-chain bigrams."""
     cfg = cfg or EngineConfig()
-    return tokenize_series(
-        pd.Series([text]),
-        stopwords=frozenset(cfg.stopwords),
-        min_len=cfg.min_token_len,
-        max_len=cfg.max_token_len,
-        emit_original=cfg.emit_original_compound,
-    ).iloc[0]
+    return ANALYZERS[cfg.analyzer](pd.Series([text]), cfg).iloc[0]
 
 
 # ---------------------------------------------------------------------------
@@ -135,9 +134,27 @@ def _whitespace(s: pd.Series, cfg: EngineConfig) -> pd.Series:
     return out
 
 
+def _korean_morph(s: pd.Series, cfg: EngineConfig) -> pd.Series:
+    """Dictionary-driven Korean morphological analysis (F-1, the
+    reference's primary analyzer family) — see functions/korean.py."""
+    from fastcatsearch3_spark.functions.korean import (
+        get_dictionary,
+        korean_tokenize_series,
+    )
+
+    return korean_tokenize_series(
+        s,
+        dic=get_dictionary(tuple(cfg.user_dict)),
+        stopwords=frozenset(cfg.stopwords),
+        min_len=cfg.min_token_len,
+        max_len=cfg.max_token_len,
+    )
+
+
 ANALYZERS = {
     "standard": _standard,
     "whitespace": _whitespace,
+    "korean_morph": _korean_morph,
 }
 
 
@@ -161,6 +178,7 @@ def tokenize_udf(cfg: EngineConfig | None = None):
     d = cfg.to_dict()
     d["stopwords"] = tuple(d["stopwords"])
     d["indexed_fields"] = tuple(d["indexed_fields"])
+    d["user_dict"] = tuple(d["user_dict"])
     return _tokenize_udf_cached(tuple(sorted(d.items())))
 
 
@@ -191,4 +209,5 @@ def tokens_string_udf(cfg: EngineConfig | None = None):
     d = cfg.to_dict()
     d["stopwords"] = tuple(d["stopwords"])
     d["indexed_fields"] = tuple(d["indexed_fields"])
+    d["user_dict"] = tuple(d["user_dict"])
     return _tokens_string_udf_cached(tuple(sorted(d.items())))
