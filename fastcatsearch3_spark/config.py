@@ -73,6 +73,16 @@ class EngineConfig:
     # format [M]). Part of the config on purpose: a dictionary edit
     # changes index bytes, so it must trip the manifest reindex guard.
     user_dict: tuple[str, ...] = field(default_factory=tuple)
+    # index-time synonym dictionary: each entry is one bidirectional group
+    # of ANALYZED tokens, "tok1,tok2[,tok3...]" (the reference applies its
+    # synonym dictionary at analysis time as well as query time [M]; cf.
+    # Lucene's index-time SynonymFilter with expand=true). Any occurrence
+    # of a group member additionally emits the other members — appended
+    # AFTER the document's own token stream so original token positions
+    # (phrase adjacency) are untouched. Changes df and index bytes, so it
+    # rides the manifest config and trips the reindex guard; query-side
+    # expansion (plans/query.py) remains the no-reindex fallback.
+    index_synonyms: tuple[str, ...] = field(default_factory=tuple)
     # on-disk layout revision: bump whenever docmap/postings schema or blob
     # format changes, so resume (I-8) rejects segments built under an older
     # layout instead of silently mixing formats
@@ -84,6 +94,7 @@ class EngineConfig:
         d["stopwords"] = list(d["stopwords"])
         d["indexed_fields"] = list(d["indexed_fields"])
         d["user_dict"] = list(d["user_dict"])
+        d["index_synonyms"] = list(d["index_synonyms"])
         return d
 
     @classmethod
@@ -95,4 +106,6 @@ class EngineConfig:
             d["indexed_fields"] = tuple(d["indexed_fields"])
         if "user_dict" in d and d["user_dict"] is not None:
             d["user_dict"] = tuple(d["user_dict"])
+        if "index_synonyms" in d and d["index_synonyms"] is not None:
+            d["index_synonyms"] = tuple(d["index_synonyms"])
         return cls(**d)

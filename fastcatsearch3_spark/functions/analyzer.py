@@ -158,12 +158,49 @@ ANALYZERS = {
 }
 
 
+def synonym_map(entries: tuple[str, ...]) -> dict[str, tuple[str, ...]]:
+    """Parse index-synonym groups ("tok1,tok2[,...]", bidirectional) into
+    member → other-members. Deterministic (members sorted)."""
+    m: dict[str, set[str]] = {}
+    for e in entries:
+        group = [w.strip().lower() for w in e.split(",") if w.strip()]
+        for w in group:
+            m.setdefault(w, set()).update(x for x in group if x != w)
+    return {w: tuple(sorted(v)) for w, v in m.items() if v}
+
+
+def get_analyzer(cfg: EngineConfig):
+    """INDEX-side analysis chain: the registry analyzer composed with the
+    index-time synonym dictionary (F-6 at analysis time — the reference
+    applies dictionaries during indexing as well [M]).
+
+    Synonym members are emitted APPENDED to the document's own token
+    stream, so original token positions (phrase adjacency, J-5) are
+    unchanged; appended members join df/tf/dl like real tokens (each
+    occurrence of a group member emits the other members once). The
+    query side deliberately does NOT run this composition — a query term
+    hits the group directly because the index already carries every
+    member wherever any member occurred."""
+    fn = ANALYZERS[cfg.analyzer]
+    if not cfg.index_synonyms:
+        return fn
+    m = synonym_map(tuple(cfg.index_synonyms))
+
+    def with_synonyms(s: pd.Series, c: EngineConfig) -> pd.Series:
+        toks = fn(s, c)
+        return toks.map(
+            lambda lst: lst + [syn for t in lst for syn in m.get(t, ())]
+        )
+
+    return with_synonyms
+
+
 @lru_cache(maxsize=16)
 def _tokenize_udf_cached(cfg_key: tuple):
     from pyspark.sql.functions import pandas_udf
 
     cfg = EngineConfig.from_dict(dict(cfg_key))
-    fn = ANALYZERS[cfg.analyzer]
+    fn = get_analyzer(cfg)
 
     @pandas_udf("array<string>")
     def analyze(content: pd.Series) -> pd.Series:
@@ -179,6 +216,7 @@ def tokenize_udf(cfg: EngineConfig | None = None):
     d["stopwords"] = tuple(d["stopwords"])
     d["indexed_fields"] = tuple(d["indexed_fields"])
     d["user_dict"] = tuple(d["user_dict"])
+    d["index_synonyms"] = tuple(d["index_synonyms"])
     return _tokenize_udf_cached(tuple(sorted(d.items())))
 
 
@@ -187,7 +225,7 @@ def _tokens_string_udf_cached(cfg_key: tuple):
     from pyspark.sql.functions import pandas_udf
 
     cfg = EngineConfig.from_dict(dict(cfg_key))
-    fn = ANALYZERS[cfg.analyzer]
+    fn = get_analyzer(cfg)
 
     @pandas_udf("string")
     def analyze_joined(content: pd.Series) -> pd.Series:
@@ -210,4 +248,5 @@ def tokens_string_udf(cfg: EngineConfig | None = None):
     d["stopwords"] = tuple(d["stopwords"])
     d["indexed_fields"] = tuple(d["indexed_fields"])
     d["user_dict"] = tuple(d["user_dict"])
+    d["index_synonyms"] = tuple(d["index_synonyms"])
     return _tokens_string_udf_cached(tuple(sorted(d.items())))

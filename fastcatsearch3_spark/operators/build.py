@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 
 from fastcatsearch3_spark import schemas
 from fastcatsearch3_spark.config import EngineConfig
-from fastcatsearch3_spark.functions.analyzer import ANALYZERS, tokens_string_udf
+from fastcatsearch3_spark.functions.analyzer import get_analyzer, tokens_string_udf
 from fastcatsearch3_spark.functions.vbyte import (
     encode_positions_blob,
     encode_postings,
@@ -186,12 +186,13 @@ def make_stage_stream(
     count ignores max_token_len — a >64-char alnum run counts toward dl
     but is dropped from the index, i.e. unindexable tokens still count as
     document length; this matches the DuckDB oracle's unfiltered count.)"""
-    fn = ANALYZERS[cfg.analyzer]
+    fn = get_analyzer(cfg)
     fast_count = (
         cfg.analyzer == "standard"
         and not cfg.stopwords
         and cfg.min_token_len <= 1
         and not cfg.emit_original_compound
+        and not cfg.index_synonyms  # appended members count toward dl
     )
     if fast_count:
         from fastcatsearch3_spark.functions.analyzer import (
@@ -278,7 +279,7 @@ def make_tokenize_combine_stream(cfg: EngineConfig, term_prefix: str = ""):
     token stream), delta-gapped and vbyte-encoded — one bytes object per
     (doc, term), assembled from ONE vectorized vbyte encode of the whole
     batch's delta stream (the only loop is the per-group byte slicing)."""
-    fn = ANALYZERS[cfg.analyzer]
+    fn = get_analyzer(cfg)
     store_pos = cfg.store_positions
 
     def gen(batches):

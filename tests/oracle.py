@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 
 from fastcatsearch3_spark.config import EngineConfig
-from fastcatsearch3_spark.functions.analyzer import ANALYZERS
+from fastcatsearch3_spark.functions.analyzer import get_analyzer
 
 
 def bm25_topk_oracle(
@@ -45,7 +45,7 @@ def bm25_topk_oracle(
             gmap.setdefault(t, set()).update(gids)
     terms = list(dict.fromkeys(terms))
     not_terms = list(dict.fromkeys(not_terms or []))
-    tok = ANALYZERS[cfg.analyzer](docs["content"], cfg)
+    tok = get_analyzer(cfg)(docs["content"], cfg)
     doc_ids = docs["doc_id"].to_numpy()
 
     dls = np.array([len(t) for t in tok], dtype=np.float64)
