@@ -699,3 +699,162 @@ def score_bm25f(
         m[ok] = deny_docnos[pos[ok]] == docnos[ok]
         docnos, scores = docnos[~m], scores[~m]
     return _topk(scores, docnos, k)
+
+
+# ---------------------------------------------------------------------------
+# Factor-aware scoring (function_score with early termination, O-3 applied
+# to static stored-field boosts — VERDICT r04 next-round #4)
+# ---------------------------------------------------------------------------
+
+def _combine_factor(
+    acc: np.ndarray, fac: np.ndarray, boost_mode: str
+) -> np.ndarray:
+    return acc * fac if boost_mode == "multiply" else acc + fac
+
+
+def _score_or_maxscore_factored(
+    terms: list[TermPostings],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    factors: np.ndarray,
+    boost_mode: str,
+    unlimited: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """MaxScore where the top-k threshold θ lives on the FINAL
+    (factor-combined) score, so a static bounded per-doc factor prunes
+    instead of forcing exhaustive evaluation (the full-eval fallback in
+    plans/search.function_score).
+
+    ``factors``: float64 per-docno array, neutral-filled (1 for multiply,
+    0 for sum) and NON-NEGATIVE (enforced at artifact build) — so a doc's
+    final score is non-decreasing as terms accumulate, which keeps the
+    MaxScore safety argument intact:
+
+      * θ = k-th largest final-so-far; acc only grows and factor is a
+        fixed non-negative multiplier/addend, so final-so-far only grows
+        and θ is a lower bound of the final k-th score.
+      * a doc pruned at term i satisfies
+        combine(acc + Σ remaining UBs, factor(d)) < θ — an upper bound of
+        its true final — so it can never enter the top-k;
+      * an UNSEEN doc at term i is bounded by combine(Σ remaining UBs,
+        max(factors)); once that falls below θ, later terms stop being
+        decoded in full and are only probed for still-live candidates.
+
+    Returns (docnos, bm25_scores, finals) — ALL still-present docs; the
+    caller truncates (pruned docs may carry partial bm25, but no pruned
+    doc can reach the final top-k, per the argument above)."""
+    ubs = [tp.upper_bound(k1, b, avgdl) for tp in terms]
+    order = np.argsort(-np.asarray(ubs), kind="mergesort")
+    terms = [terms[i] for i in order]
+    ubs = [ubs[i] for i in order]
+    suffix_ub = np.concatenate((np.cumsum(np.asarray(ubs)[::-1])[::-1], [0.0]))
+
+    size = factors.size
+    for tp in terms:
+        size = max(size, tp.meta.last_docno + 1)
+    if factors.size < size:
+        neutral = 1.0 if boost_mode == "multiply" else 0.0
+        factors = np.concatenate(
+            [factors, np.full(size - factors.size, neutral)]
+        )
+    fmax = float(factors.max()) if size else 0.0
+    acc = np.zeros(size, dtype=np.float64)
+    present = np.zeros(size, dtype=bool)
+    theta = -np.inf
+
+    for i, tp in enumerate(terms):
+        rem = suffix_ub[i]
+        unseen_ub = rem * fmax if boost_mode == "multiply" else rem + fmax
+        if unlimited or i == 0 or not np.isfinite(theta) or theta < unseen_ub:
+            d, t, l = decode_postings(tp.blob, tp.meta)
+            dn = d.astype(np.int64)
+            acc[dn] += tp.idf * bm25_tf_norm(t, l, k1, b, tp.adl(avgdl))
+            present[dn] = True
+        else:
+            live = np.nonzero(present)[0]
+            bound = _combine_factor(acc[live] + rem, factors[live], boost_mode)
+            live = live[bound >= theta]
+            if live.size == 0:
+                continue
+            member, contrib = _probe(tp, live.astype(np.uint64), k1, b, avgdl)
+            acc[live[member]] += contrib
+        if not unlimited:
+            pres = np.nonzero(present)[0]
+            if pres.size >= k:
+                finals = _combine_factor(acc[pres], factors[pres], boost_mode)
+                theta = np.partition(finals, finals.size - k)[finals.size - k]
+    cand = np.nonzero(present)[0]
+    finals = _combine_factor(acc[cand], factors[cand], boost_mode)
+    return cand.astype(np.uint64), acc[cand], finals
+
+
+def score_group_factored(
+    terms: list[TermPostings],
+    *,
+    k: int,
+    op: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+    factors: np.ndarray,
+    boost_mode: str,
+    not_terms: list[TermPostings] | None = None,
+    deny_docnos: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Score one (segment, shard) group under a static per-doc factor.
+    Returns the local top-k by FINAL score: (docnos, bm25, factor, final),
+    final-desc / docno-asc ordered.
+
+    AND runs the exact blockwise intersection (its candidate set is
+    rarest-list-sized, no pruning needed) and combines after; OR runs the
+    factored MaxScore above. NOT terms / deny masks disable pruning
+    (a post-filter may evict top docs — same trade as score_group)."""
+    not_terms = not_terms or []
+    if not terms:
+        z = np.zeros(0)
+        return np.zeros(0, dtype=np.uint64), z, z, z
+    unlimited = bool(not_terms) or deny_docnos is not None
+    if op == "AND":
+        docnos, bm25 = _score_and_bmw(terms, k1, b, avgdl)
+        dn = docnos.astype(np.int64)
+        neutral = 1.0 if boost_mode == "multiply" else 0.0
+        fac = np.where(
+            dn < factors.size, factors[np.minimum(dn, max(factors.size - 1, 0))],
+            neutral,
+        ) if factors.size else np.full(dn.size, neutral)
+        finals = _combine_factor(bm25, fac, boost_mode)
+    else:
+        docnos, bm25, finals = _score_or_maxscore_factored(
+            terms, k, k1, b, avgdl, factors, boost_mode,
+            unlimited=unlimited,
+        )
+        dn = docnos.astype(np.int64)
+        neutral = 1.0 if boost_mode == "multiply" else 0.0
+        fac = (
+            np.where(dn < factors.size,
+                     factors[np.minimum(dn, max(factors.size - 1, 0))],
+                     neutral)
+            if factors.size else np.full(dn.size, neutral)
+        )
+    if not_terms or deny_docnos is not None:
+        keep = np.ones(docnos.size, dtype=bool)
+        for nt in not_terms:
+            member, _ = _probe(nt, docnos, k1, b, avgdl)
+            keep &= ~member
+        if deny_docnos is not None:
+            pos = np.searchsorted(deny_docnos, docnos)
+            ok = pos < deny_docnos.size
+            m = np.zeros(docnos.size, dtype=bool)
+            m[ok] = deny_docnos[pos[ok]] == docnos[ok]
+            keep &= ~m
+        docnos, bm25, fac, finals = (
+            docnos[keep], bm25[keep], fac[keep], finals[keep]
+        )
+    sel_docnos, sel_finals = _topk(finals, docnos, k)
+    # map selection back to bm25/factor (docnos unique within a shard)
+    pos = {int(d): i for i, d in enumerate(docnos)}
+    idx = np.fromiter((pos[int(d)] for d in sel_docnos), dtype=np.int64,
+                      count=sel_docnos.size)
+    return sel_docnos, bm25[idx], fac[idx], sel_finals
