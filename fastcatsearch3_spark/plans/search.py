@@ -44,6 +44,7 @@ from fastcatsearch3_spark.plans.scoring import (
     decode_postings,
     score_bm25f,
     score_group,
+    score_group_factored,
 )
 
 KERNEL_SCHEMA = "segment_id int, shard int, docno bigint, score double"
@@ -1067,7 +1068,12 @@ def function_score(
     fields = fields_df.select(
         "doc_id", F.col(factor_col).cast("double").alias("_raw")
     )
-    raw = F.col("_raw")
+    # NaN is NOT null in Spark: it passes coalesce and sorts ABOVE every
+    # real value under desc — normalize it to null so the missing-value
+    # policy (and the NaN-free finals guarantee) covers it too
+    raw = F.when(F.isnan(F.col("_raw")), F.lit(None)).otherwise(
+        F.col("_raw")
+    )
     if missing is not None:
         raw = F.coalesce(raw, F.lit(float(missing)))
     if modifier in decay_mods:
@@ -1104,6 +1110,626 @@ def function_score(
         )
         .orderBy(F.desc("final"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def build_factor_artifact(
+    spark: SparkSession,
+    store,
+    fields_df: DataFrame,
+    factor_col: str,
+    name: str,
+    modifier: str = "ln1p",
+    weight: float = 1.0,
+    missing: float | None = None,
+) -> dict:
+    """Materialize a STATIC per-doc rank factor as an index-side artifact
+    (ES's doc-value field feeding function_score; the r4 verdict's
+    "per-block max-factor beside block-max tf" realized as a shard-local
+    factor sidecar): (segment_id, shard, docno, factor) parquet under
+    ``.factors/<name>``, docno-sorted within each (segment, shard)
+    partition so the kernel's dense-array fill is a sequential scatter.
+
+    The modifier/weight are folded in AT BUILD (only static modifiers —
+    ln1p/sqrt/none; decay depends on a query-time origin and stays on the
+    full-eval path). Values are clamped to ≥ 0 — non-negativity is what
+    makes factor-combined MaxScore pruning sound (score monotone in
+    accumulated BM25). ``missing`` substitutes null raw values like
+    function_score; docs absent from ``fields_df`` simply have no row and
+    get the boost-mode-neutral factor at query time.
+
+    The artifact records the index epoch; ``function_score_topk`` refuses
+    a stale artifact (same pattern as the ``.denied`` epoch masks). Cost:
+    one docmap join + one partitioned write — corpus-scale but build-time,
+    amortized over every subsequent query."""
+    import json as _json
+    import shutil
+    from pathlib import Path
+
+    if modifier not in ("ln1p", "sqrt", "none"):
+        raise ValueError(
+            "factor artifacts support static modifiers ln1p/sqrt/none; "
+            "decay modifiers are query-relative — use function_score"
+        )
+    raw0 = F.col(factor_col).cast("double")
+    # NaN → null (NaN is not null in Spark and would poison the kernel's
+    # factor array and the pruning bound); nulls then follow the
+    # missing-value policy / drop to the neutral fill like absent rows
+    raw = F.when(F.isnan(raw0), F.lit(None)).otherwise(raw0)
+    if missing is not None:
+        raw = F.coalesce(raw, F.lit(float(missing)))
+    nonneg = F.when(raw < 0, F.lit(0.0)).otherwise(raw)
+    fx = {
+        "ln1p": F.log(F.lit(1.0) + nonneg),
+        "sqrt": F.sqrt(nonneg),
+        "none": nonneg,
+    }[modifier] * F.lit(float(weight))
+    rows = (
+        store.docmap(spark)
+        .select("segment_id", "shard", "docno", "doc_id")
+        .join(fields_df.select("doc_id", fx.alias("factor")), "doc_id")
+        .where(F.col("factor").isNotNull())
+        .select("segment_id", "shard", "docno", "factor")
+        .repartition("segment_id", "shard")
+        .sortWithinPartitions("segment_id", "shard", "docno")
+    )
+    root = Path(store._p(".factors", name))
+    tmp = root.with_name(root.name + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    rows.write.mode("overwrite").parquet(str(tmp / "rows"))
+    meta = {
+        "name": name,
+        "modifier": modifier,
+        "weight": float(weight),
+        "missing": missing,
+        "epoch": store.epoch(),
+    }
+    (tmp / "meta.json").write_text(_json.dumps(meta))
+    shutil.rmtree(root, ignore_errors=True)
+    tmp.rename(root)
+    return meta
+
+
+FACTOR_KERNEL_SCHEMA = (
+    "segment_id int, shard int, docno bigint,"
+    " score double, factor double, final double"
+)
+
+
+def _make_factor_kernel(
+    qidf: dict[str, float],
+    not_terms: set[str],
+    *,
+    k: int,
+    op: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+    n_required: int,
+    boost_mode: str,
+    term_avgdl: dict[str, float] | None = None,
+):
+    """Per-(segment, shard) cogrouped kernel for function_score_topk:
+    left = posting rows, right = factor rows (kind=2) unioned with the
+    epoch denied mask (kind=-1). Builds the shard's dense neutral-filled
+    factor array and runs the factor-aware MaxScore
+    (scoring.score_group_factored)."""
+    neutral = 1.0 if boost_mode == "multiply" else 0.0
+    _EMPTY = pd.DataFrame(
+        {
+            "segment_id": pd.Series([], dtype="int32"),
+            "shard": pd.Series([], dtype="int32"),
+            "docno": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+            "factor": pd.Series([], dtype="float64"),
+            "final": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def score_rows(pdf: pd.DataFrame, right: pd.DataFrame | None):
+        if len(pdf) == 0:
+            return _EMPTY
+        seg = int(pdf["segment_id"].iloc[0])
+        shard = int(pdf["shard"].iloc[0])
+        pos_tps, neg_tps = [], []
+        for term, blob in zip(pdf["term"], pdf["postings"]):
+            tp = TermPostings(
+                term=term,
+                idf=qidf.get(term, 0.0),
+                blob=bytes(blob),
+                avgdl=(term_avgdl or {}).get(term),
+            )
+            (neg_tps if term in not_terms else pos_tps).append(tp)
+        if op == "AND" and len(pos_tps) < n_required:
+            return _EMPTY
+        if not pos_tps:
+            return _EMPTY
+        deny = None
+        fac_dn = np.zeros(0, dtype=np.int64)
+        fac_v = np.zeros(0, dtype=np.float64)
+        if right is not None and len(right):
+            fr = right[right["kind"] == 2]
+            if len(fr):
+                fac_dn = fr["docno"].to_numpy(np.int64)
+                fac_v = fr["factor"].to_numpy(np.float64)
+            d = right.loc[right["kind"] == -1, "docno"].to_numpy(np.int64)
+            if d.size:
+                deny = np.sort(d).astype(np.uint64)
+        size = int(fac_dn.max()) + 1 if fac_dn.size else 0
+        factors = np.full(size, neutral, dtype=np.float64)
+        if fac_dn.size:
+            factors[fac_dn] = np.maximum(fac_v, 0.0)
+        docnos, bm25, fac, finals = score_group_factored(
+            pos_tps,
+            k=k,
+            op=op,
+            k1=k1,
+            b=b,
+            avgdl=avgdl,
+            factors=factors,
+            boost_mode=boost_mode,
+            not_terms=neg_tps,
+            deny_docnos=deny,
+        )
+        return pd.DataFrame(
+            {
+                "segment_id": np.full(docnos.size, seg, dtype=np.int32),
+                "shard": np.full(docnos.size, shard, dtype=np.int32),
+                "docno": docnos.astype(np.int64),
+                "score": bm25,
+                "factor": fac,
+                "final": finals,
+            }
+        )
+
+    def cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return score_rows(left, right)
+
+    return cogrouped
+
+
+def function_score_topk(
+    spark: SparkSession,
+    store,
+    query: str | ParsedQuery,
+    factor_name: str,
+    k: int = 10,
+    boost_mode: str = "multiply",
+) -> DataFrame:
+    """function_score with EARLY TERMINATION for static stored factors
+    (VERDICT r04 next-round #4): instead of scoring the full match set
+    (``function_score``'s ``_return_all``, correct but ~corpus-sized for
+    a hot term at 100×), the factor artifact built by
+    ``build_factor_artifact`` rides into the scoring kernel, where the
+    MaxScore top-k threshold θ lives on the FINAL (factor-combined)
+    score — so low-factor docs prune exactly like low-BM25 docs, and hot
+    terms stop being decoded in full once the remaining upper bound ×
+    max-factor falls below θ (scoring._score_or_maxscore_factored has the
+    safety argument; parity with the full-eval path is pinned by test,
+    including crafted low-BM25/high-factor rank flips).
+
+    Scope: flat AND/OR queries (incl. NOT terms and caret boosts). The
+    general forms — trees, phrases, msm, synonym groups, decay
+    modifiers — fall back to ``function_score`` (raises here). Output:
+    (doc_id, score, factor, final) by (final desc, doc_id asc), same
+    columns as function_score; ``score`` is the plain BM25 part."""
+    import json as _json
+    from pathlib import Path
+
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError("boost_mode must be 'multiply' or 'sum'")
+    cfg = store.config()
+    pq = parse_query(query, cfg) if isinstance(query, str) else query
+    pq = _expand_prefixes(spark, store, pq, cfg)
+    empty = spark.createDataFrame(
+        [], "doc_id long, score double, factor double, final double"
+    )
+    if pq is None or not pq.terms:
+        return empty
+    if (
+        pq.tree is not None
+        or pq.phrases
+        or pq.msm is not None
+        or pq.groups is not None
+    ):
+        raise ValueError(
+            "function_score_topk supports flat AND/OR queries; use "
+            "function_score for trees/phrases/msm/synonym groups"
+        )
+    root = Path(store._p(".factors", factor_name))
+    meta = _json.loads((root / "meta.json").read_text())
+    if meta["epoch"] != store.epoch():
+        raise RuntimeError(
+            f"factor artifact {factor_name!r} is stale (index epoch "
+            "changed since build) — rebuild with build_factor_artifact"
+        )
+    stats = store.stats()
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if n_docs == 0:
+        return empty
+    avgdl_by_field = stats.get("avgdl_by_field") or {}
+    all_terms = list(dict.fromkeys(pq.terms + pq.not_terms))
+    dfmap = store.df_for_terms(spark, all_terms)
+    if pq.op == "AND" and any(t not in dfmap for t in pq.terms):
+        return empty
+    terms = [t for t in pq.terms if t in dfmap]
+    not_terms = [t for t in pq.not_terms if t in dfmap]
+    if not terms:
+        return empty
+    qidf = {t: float(bm25_idf(n_docs, dfmap[t])) for t in terms}
+    for t, w in (pq.boosts or {}).items():
+        if t in qidf:
+            qidf[t] *= w
+    term_avgdl = {
+        t: avgdl_by_field[t.split(":", 1)[0]]
+        for t in terms + not_terms
+        if ":" in t and t.split(":", 1)[0] in avgdl_by_field
+    }
+    cand = (
+        store.postings(spark)
+        .where(F.col("term").isin(terms + not_terms))
+        .select("segment_id", "shard", "term", "postings")
+    )
+    right = spark.read.parquet(str(root / "rows")).select(
+        "segment_id", "shard", "docno", "factor", F.lit(2).alias("kind")
+    )
+    denied = store.denied_mask(spark)
+    if denied is not None:
+        right = right.unionByName(
+            denied.select(
+                "segment_id",
+                "shard",
+                "docno",
+                F.lit(None).cast("double").alias("factor"),
+                F.lit(-1).alias("kind"),
+            )
+        )
+    kernel = _make_factor_kernel(
+        qidf,
+        set(not_terms),
+        k=k,
+        op=pq.op,
+        k1=cfg.k1,
+        b=cfg.b,
+        avgdl=avgdl,
+        n_required=len(terms),
+        boost_mode=boost_mode,
+        term_avgdl=term_avgdl or None,
+    )
+    hits = (
+        cand.groupBy("segment_id", "shard")
+        .cogroup(right.groupBy("segment_id", "shard"))
+        .applyInPandas(kernel, FACTOR_KERNEL_SCHEMA)
+    )
+    # hits are ≤ k per (segment, shard) — broadcast-sized by construction
+    return (
+        store.docmap(spark)
+        .select("segment_id", "shard", "docno", "doc_id")
+        .join(F.broadcast(hits), ["segment_id", "shard", "docno"])
+        .select("doc_id", "score", "factor", "final")
+        .orderBy(F.desc("final"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rescore_many(
+    spark: SparkSession,
+    store,
+    queries: "dict[str, tuple[str | ParsedQuery, str | ParsedQuery]]",
+    k: int = 10,
+    window: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+) -> DataFrame:
+    """Batch two-phase ranking (VERDICT r04 next-round #7): the batch twin
+    of ``rescore_topk``. ``queries`` maps query_id → (first_pass_query,
+    rescore_query). N queries cost TWO batch kernel passes total instead
+    of 2·N single-query passes:
+
+      * phase 1 — ONE ``search_many`` pass scores every first-pass query
+        (k=window) against one shared postings scan;
+      * phase 2 — ONE ``search_many`` pass scores every rescore query,
+        each restricted to ITS OWN window through the existing per-query
+        allow path (allow_doc_ids with a query_id column), so the second
+        pass decodes only the union of rescore terms and scores only
+        window docs — same cost shape as the per-query path, amortized.
+
+    Per-query semantics are identical to ``rescore_topk`` (pinned by
+    test): window docs not matching the rescore query keep second = 0
+    (ES score_mode: total); rescore scores use GLOBAL df/avgdl stats.
+    Output: (query_id, doc_id, first_score, rescore, score), per-query
+    (score desc, doc_id asc) top-k."""
+    if k > window:
+        raise ValueError("k must be <= window")
+    empty = spark.createDataFrame(
+        [],
+        "query_id string, doc_id long, first_score double,"
+        " rescore double, score double",
+    )
+    if not queries:
+        return empty
+    first = search_many(
+        spark, store, {qid: q for qid, (q, _) in queries.items()}, k=window
+    )
+    # the window relation is needed twice (phase-2 allow mask + blend) and
+    # is result-sized (≤ N·window rows) — pin it once, like rescore_topk
+    win_rows = first.collect()
+    if not win_rows:
+        return empty
+    win = spark.createDataFrame(
+        win_rows, "query_id string, doc_id long, score double"
+    )
+    second = search_many(
+        spark,
+        store,
+        {qid: rq for qid, (_, rq) in queries.items()},
+        k=window,
+        allow_doc_ids=win.select("query_id", "doc_id"),
+    ).withColumnRenamed("score", "rescore")
+    sec = F.coalesce(F.col("rescore"), F.lit(0.0))
+    from pyspark.sql import Window as W
+
+    blended = (
+        win.join(F.broadcast(second), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").alias("first_score"),
+            sec.alias("rescore"),
+            (
+                F.lit(float(query_weight)) * F.col("score")
+                + F.lit(float(rescore_weight)) * sec
+            ).alias("score"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    return (
+        blended.where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+FS_BATCH_KERNEL_SCHEMA = (
+    "query_id string, segment_id int, shard int, docno bigint,"
+    " score double, factor double, final double"
+)
+
+
+def function_score_many(
+    spark: SparkSession,
+    store,
+    queries: "dict[str, str | ParsedQuery]",
+    factor_name: str,
+    k: int = 10,
+    boost_mode: str = "multiply",
+) -> DataFrame:
+    """Batch function_score with early termination (VERDICT r04
+    next-round #7): the batch twin of ``function_score_topk``. N queries
+    against ONE factor artifact share one postings scan (pushed ``In``
+    over the union of terms), one factor cogroup, and one kernel pass;
+    each (segment, shard) group loads its dense factor array ONCE and
+    runs the factor-aware MaxScore per query spec.
+
+    Scope per query matches function_score_topk: flat AND/OR with NOT
+    terms and caret boosts (trees/phrases/msm/groups raise). Output:
+    (query_id, doc_id, score, factor, final), per-query (final desc,
+    doc_id asc) top-k."""
+    import json as _json
+    from pathlib import Path
+
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError("boost_mode must be 'multiply' or 'sum'")
+    empty = spark.createDataFrame(
+        [],
+        "query_id string, doc_id long, score double,"
+        " factor double, final double",
+    )
+    if not queries:
+        return empty
+    cfg = store.config()
+    root = Path(store._p(".factors", factor_name))
+    meta = _json.loads((root / "meta.json").read_text())
+    if meta["epoch"] != store.epoch():
+        raise RuntimeError(
+            f"factor artifact {factor_name!r} is stale (index epoch "
+            "changed since build) — rebuild with build_factor_artifact"
+        )
+    stats = store.stats()
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if n_docs == 0:
+        return empty
+    avgdl_by_field = stats.get("avgdl_by_field") or {}
+
+    parsed: dict[str, ParsedQuery] = {}
+    for qid, q in queries.items():
+        pq = parse_query(q, cfg) if isinstance(q, str) else q
+        pq = _expand_prefixes(spark, store, pq, cfg)
+        if pq is None:
+            continue
+        if (
+            pq.tree is not None
+            or pq.phrases
+            or pq.msm is not None
+            or pq.groups is not None
+        ):
+            raise ValueError(
+                f"query {qid!r}: function_score_many supports flat AND/OR"
+                " queries; use function_score for the general form"
+            )
+        parsed[qid] = pq
+    all_terms = sorted(
+        {t for pq in parsed.values() for t in pq.terms + pq.not_terms}
+    )
+    if not all_terms:
+        return empty
+    dfmap = store.df_for_terms(spark, all_terms)
+    term_avgdl = {
+        t: avgdl_by_field[t.split(":", 1)[0]]
+        for t in all_terms
+        if ":" in t and t.split(":", 1)[0] in avgdl_by_field
+    }
+    specs: list[tuple] = []
+    fetch: set[str] = set()
+    for qid, pq in parsed.items():
+        terms = [t for t in pq.terms if t in dfmap]
+        if not terms:
+            continue
+        if pq.op == "AND" and len(terms) < len(pq.terms):
+            continue
+        qidf = {t: float(bm25_idf(n_docs, dfmap[t])) for t in terms}
+        for t, w in (pq.boosts or {}).items():
+            if t in qidf:
+                qidf[t] *= w
+        nset = {t for t in pq.not_terms if t in dfmap}
+        specs.append((qid, qidf, nset, pq.op, len(terms)))
+        fetch.update(qidf)
+        fetch.update(nset)
+    if not specs:
+        return empty
+
+    cand = (
+        store.postings(spark)
+        .where(F.col("term").isin(sorted(fetch)))
+        .select("segment_id", "shard", "term", "postings")
+    )
+    right = spark.read.parquet(str(root / "rows")).select(
+        "segment_id", "shard", "docno", "factor", F.lit(2).alias("kind")
+    )
+    denied = store.denied_mask(spark)
+    if denied is not None:
+        right = right.unionByName(
+            denied.select(
+                "segment_id",
+                "shard",
+                "docno",
+                F.lit(None).cast("double").alias("factor"),
+                F.lit(-1).alias("kind"),
+            )
+        )
+    k1, b = cfg.k1, cfg.b
+    neutral = 1.0 if boost_mode == "multiply" else 0.0
+    _EMPTY_FS = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype=object),
+            "segment_id": pd.Series([], dtype="int32"),
+            "shard": pd.Series([], dtype="int32"),
+            "docno": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+            "factor": pd.Series([], dtype="float64"),
+            "final": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def _score_batch(pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return _EMPTY_FS
+        seg = int(pdf["segment_id"].iloc[0])
+        shard = int(pdf["shard"].iloc[0])
+        deny = None
+        fac_dn = np.zeros(0, dtype=np.int64)
+        fac_v = np.zeros(0, dtype=np.float64)
+        if right_pdf is not None and len(right_pdf):
+            fr = right_pdf[right_pdf["kind"] == 2]
+            if len(fr):
+                fac_dn = fr["docno"].to_numpy(np.int64)
+                fac_v = fr["factor"].to_numpy(np.float64)
+            d = right_pdf.loc[right_pdf["kind"] == -1, "docno"].to_numpy(
+                np.int64
+            )
+            if d.size:
+                deny = np.sort(d).astype(np.uint64)
+        size = int(fac_dn.max()) + 1 if fac_dn.size else 0
+        factors = np.full(size, neutral, dtype=np.float64)
+        if fac_dn.size:
+            factors[fac_dn] = np.maximum(fac_v, 0.0)
+        # decode each blob's meta once, shared across the batch
+        blobs: dict[str, tuple[bytes, "PostingMeta"]] = {}
+        for t, bl in zip(pdf["term"], pdf["postings"]):
+            raw = bytes(bl)
+            blobs[t] = (raw, decode_meta(raw))
+        outs = []
+        for qid, qidf, nset, op, n_req in specs:
+            pos_tps, neg_tps = [], []
+            for t, idf in qidf.items():
+                ent = blobs.get(t)
+                if ent is None:
+                    continue
+                pos_tps.append(
+                    TermPostings(
+                        term=t, idf=idf, blob=ent[0],
+                        avgdl=term_avgdl.get(t), meta=ent[1],
+                    )
+                )
+            if not pos_tps or (op == "AND" and len(pos_tps) < n_req):
+                continue
+            for t in nset:
+                ent = blobs.get(t)
+                if ent is not None:
+                    neg_tps.append(
+                        TermPostings(
+                            term=t, idf=0.0, blob=ent[0],
+                            avgdl=term_avgdl.get(t), meta=ent[1],
+                        )
+                    )
+            docnos, bm25, fac, finals = score_group_factored(
+                pos_tps, k=k, op=op, k1=k1, b=b, avgdl=avgdl,
+                factors=factors, boost_mode=boost_mode,
+                not_terms=neg_tps, deny_docnos=deny,
+            )
+            if docnos.size:
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "segment_id": np.full(docnos.size, seg, np.int32),
+                            "shard": np.full(docnos.size, shard, np.int32),
+                            "docno": docnos.astype(np.int64),
+                            "score": bm25,
+                            "factor": fac,
+                            "final": finals,
+                        }
+                    )
+                )
+        if not outs:
+            return _EMPTY_FS
+        return pd.concat(outs, ignore_index=True)
+
+    def cogrouped(left: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_batch(left, right_pdf)
+
+    hits = (
+        cand.groupBy("segment_id", "shard")
+        .cogroup(right.groupBy("segment_id", "shard"))
+        .applyInPandas(cogrouped, FS_BATCH_KERNEL_SCHEMA)
+    )
+    from pyspark.sql import Window as W
+
+    joined = (
+        store.docmap(spark)
+        .select("segment_id", "shard", "docno", "doc_id")
+        .join(F.broadcast(hits), ["segment_id", "shard", "docno"])
+        .select("query_id", "doc_id", "score", "factor", "final")
+    )
+    ranked = joined.withColumn(
+        "_rn",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(
+                F.desc("final"), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("final"), F.asc("doc_id"))
     )
 
 
