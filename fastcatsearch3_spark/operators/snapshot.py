@@ -87,13 +87,31 @@ def snapshot_index(store, dest: str | Path) -> dict:
         raise
 
 
-def restore_index(snapshot: str | Path, dest: str | Path) -> dict:
+def restore_index(
+    snapshot: str | Path,
+    dest: str | Path,
+    spark=None,
+    verify: bool = False,
+    sha_sample_mod: int = 16,
+) -> dict:
     """Restore a snapshot into ``dest`` (atomic swap; a pre-existing
     index at ``dest`` is kept beside it as ``<dest>.old-<unix>`` until
-    the caller deletes it). Returns the snapshot manifest restored."""
+    the caller deletes it). Returns the snapshot manifest restored.
+
+    ``verify=True`` (VERDICT r04 next-round #8) runs ``fsck_index`` on
+    the restored copy BEFORE the swap — the snapshot bytes may have
+    rotted or been truncated in storage since they were taken, and an
+    atomic swap of corrupt bytes would replace a working index with a
+    broken one. A failed check raises RuntimeError with the offending
+    checks and leaves ``dest`` untouched (the verified-bad copy is
+    deleted). ``sha_sample_mod`` passes through to fsck's deterministic
+    1/mod content-hash sample (full recheck with 1 — at 100 TB the
+    sampled audit is the routine mode). Requires ``spark``."""
     snapshot = Path(snapshot)
     dest = Path(dest)
     manifest = json.loads((snapshot / "snapshot.json").read_text())
+    if verify and spark is None:
+        raise ValueError("verify=True requires a SparkSession")
     tmp = Path(
         tempfile.mkdtemp(prefix=".tmp-restore-", dir=str(dest.parent))
     )
@@ -102,6 +120,36 @@ def restore_index(snapshot: str | Path, dest: str | Path) -> dict:
         shutil.copytree(
             snapshot, tmp, ignore=shutil.ignore_patterns("snapshot.json")
         )
+        if verify:
+            from fastcatsearch3_spark.index import IndexStore
+            from fastcatsearch3_spark.operators.fsck import fsck_index
+
+            try:
+                report = fsck_index(
+                    spark,
+                    IndexStore(str(tmp)),
+                    sha_sample_mod=sha_sample_mod,
+                )
+            except Exception as e:
+                # a truncated/rotted file makes the scan itself throw
+                # (parquet footer errors) before fsck can record a
+                # violation — equally corrupt, equally refused
+                raise RuntimeError(
+                    "restore verification failed — snapshot is corrupt "
+                    f"(fsck could not read it: {type(e).__name__}), "
+                    "existing index left untouched"
+                ) from e
+            bad = {
+                name: r
+                for name, r in report.items()
+                if isinstance(r, dict) and not r.get("ok", True)
+            }
+            if bad:
+                raise RuntimeError(
+                    "restore verification failed — snapshot is corrupt, "
+                    f"existing index left untouched: {bad}"
+                )
+            manifest = dict(manifest, fsck="ok")
         if dest.exists():
             dest.rename(dest.parent / f"{dest.name}.old-{int(time.time())}")
         tmp.rename(dest)

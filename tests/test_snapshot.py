@@ -113,3 +113,50 @@ def test_restore_swaps_atomically_and_keeps_old(spark, tmp_path):
     ).toPandas()
     assert list(got2["doc_id"]) == list(want["doc_id"])
     assert not (fresh / "snapshot.json").exists()
+
+
+def test_restore_verify_rejects_corrupt_snapshot(spark, tmp_path):
+    """VERDICT r04 #8: restore_index(verify=True) fscks the restored copy
+    BEFORE the swap — a corrupt snapshot raises and the live index stays
+    exactly as it was."""
+    col = _collection(spark, tmp_path)
+    want = col.search("spark merge", k=10).toPandas()
+    snap = tmp_path / "backup"
+    snapshot_index(col.store, snap)
+
+    # rot the snapshot: truncate one postings parquet file
+    victim = next((snap / "postings").rglob("*.parquet"))
+    victim.write_bytes(victim.read_bytes()[: 100])
+
+    dest = Path(col.store.root)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        restore_index(snap, dest, spark=spark, verify=True)
+    # old index untouched (no swap, no .old copy, no tmp litter)
+    assert not list(dest.parent.glob(f"{dest.name}.old-*"))
+    assert not list(dest.parent.glob(".tmp-restore-*"))
+    got = col.search("spark merge", k=10).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+
+
+def test_restore_verify_passes_clean_snapshot(spark, tmp_path):
+    col = _collection(spark, tmp_path)
+    want = col.search("spark merge", k=10).toPandas()
+    snap = tmp_path / "backup"
+    snapshot_index(col.store, snap)
+    fresh = tmp_path / "fresh"
+    manifest = restore_index(
+        snap, fresh, spark=spark, verify=True, sha_sample_mod=1
+    )
+    assert manifest["fsck"] == "ok"
+    got = search_index(
+        spark, IndexStore(str(fresh)), "spark merge", k=10
+    ).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+
+
+def test_restore_verify_requires_spark(spark, tmp_path):
+    col = _collection(spark, tmp_path)
+    snap = tmp_path / "backup"
+    snapshot_index(col.store, snap)
+    with pytest.raises(ValueError, match="SparkSession"):
+        restore_index(snap, tmp_path / "x", verify=True)
