@@ -973,6 +973,60 @@ _PH_TABLE_HASH_SET = """
 
 _PH_TABLE_HASH = f"doc_id IN ({_PH_TABLE_HASH_SET})"
 
+
+def _ph_set(t1: str, t2: str) -> str:
+    """Doc set containing the adjacent bigram (t1 t2) — parameterized
+    twin of _PH_TABLE_HASH_SET."""
+    return f"""
+  WITH pt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') arr
+              FROM documents),
+  ptok AS (SELECT doc_id, unnest(list_transform(range(1, len(arr)+1),
+                   i -> {{'p': i, 'term': arr[CAST(i AS INT)]}}),
+                   recursive := true)
+           FROM pt)
+  SELECT DISTINCT a.doc_id
+  FROM ptok a JOIN ptok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}'"""
+
+
+def _rescore_block_sql(qid: str, t1: str, t2: str, window: int, k: int) -> str:
+    """One query's two-phase rescore (OR(t1,t2) first pass, '"t1 t2"'
+    rescore) tagged with a query_id literal — UNION'd for rescore_many's
+    batch oracle. Mirrors the search_rescore oracle exactly."""
+    from fastcatsearch3_spark.config import EngineConfig as _EC
+
+    _c = _EC()
+    return f"""
+SELECT '{qid}' AS query_id, doc_id,
+       CAST(round(first_score * 10000) AS BIGINT) AS first_e4,
+       CAST(round(rescore * 10000) AS BIGINT) AS rescore_e4,
+       CAST(round(score * 10000) AS BIGINT) AS score_e4
+FROM (
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('{t1}', '{t2}')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({_c.k1} + 1.0)
+           / (q.tf + {_c.k1} * (1.0 - {_c.b} + {_c.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score,
+               count(DISTINCT term) AS nt FROM scored GROUP BY doc_id),
+win AS (SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id ASC LIMIT {window}),
+ph AS ({_ph_set(t1, t2)}),
+resc AS (SELECT a.doc_id, a.score AS rescore FROM agg a
+         WHERE a.nt = 2 AND a.doc_id IN (SELECT doc_id FROM ph)),
+final AS (
+  SELECT w.doc_id, w.score AS first_score,
+         coalesce(r.rescore, 0.0) AS rescore,
+         w.score + coalesce(r.rescore, 0.0) AS score
+  FROM win w LEFT JOIN resc r USING (doc_id))
+SELECT * FROM final ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+
 # '"table hash" OR vector' — phrase members presence-gated on the phrase
 # doc set, the free term scores alone; a doc matches when either clause does
 _PHRASE_OR_SQL = f"""
@@ -1657,6 +1711,71 @@ def _q_rescore(spark, sf_dir):
     )
 
 
+def _q_function_score_pruned(spark, sf_dir):
+    # factor-aware early termination (r5): the factor artifact rides into
+    # the kernel and the top-k threshold lives on the FINAL score
+    # (plans/scoring._score_or_maxscore_factored) — output is pinned
+    # identical to the full-eval path, so the oracle is the same SQL with
+    # the OR (nt >= 1) gate
+    import json as _json
+    from pathlib import Path as _P
+
+    from fastcatsearch3_spark.plans.search import (
+        build_factor_artifact,
+        function_score_topk,
+    )
+
+    store = _packed_store(spark, sf_dir)
+    name = "oracle_nchars"
+    root = _P(store._p(".factors", name))
+    try:
+        fresh = (
+            _json.loads((root / "meta.json").read_text())["epoch"]
+            == store.epoch()
+        )
+    except Exception:
+        fresh = False
+    if not fresh:
+        docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+        build_factor_artifact(spark, store, docs, "n_chars", name)
+    out = function_score_topk(
+        spark, store, ParsedQuery(terms=_Q_AND2, op="OR"), name, k=_K
+    )
+    return out.select(
+        "doc_id",
+        _e4(),
+        F.round(F.col("factor") * 10000).cast("long").alias("factor_e4"),
+        F.round(F.col("final") * 10000).cast("long").alias("final_e4"),
+    )
+
+
+def _q_rescore_batch(spark, sf_dir):
+    # batch two-phase ranking (r5): N rescores share TWO search_many
+    # kernel passes (phase-2 windows ride the per-query allow path);
+    # per-query output pinned identical to rescore_topk
+    from fastcatsearch3_spark.plans.search import rescore_many
+
+    cfg_pos = EngineConfig(store_positions=True)
+    store = _packed_store(spark, sf_dir, cfg=cfg_pos)
+    out = rescore_many(
+        spark,
+        store,
+        {
+            "q_th": ("table OR hash", '"table hash"'),
+            "q_sm": ("spark OR merge", '"spark merge"'),
+        },
+        k=_K,
+        window=50,
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("first_score") * 10000).cast("long").alias("first_e4"),
+        F.round(F.col("rescore") * 10000).cast("long").alias("rescore_e4"),
+        _e4(),
+    )
+
+
 def _q_function_score(spark, sf_dir):
     # static-field boost (ES function_score / field_value_factor): BM25
     # over the full match set (_return_all — a doc-dependent factor breaks
@@ -1868,6 +1987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_cjk_bigrams": _q_tf_cjk_bigrams,
         "tf_korean_morph": _q_tf_korean_morph,
         "bm25_index_synonyms": _q_bm25_index_synonyms,
+        "function_score_pruned": _q_function_score_pruned,
+        "rescore_batch": _q_rescore_batch,
         "filter_range": _q_filter_range,
         # ------------------- end of driver-checked window -------------------
         # (all driver-green in r03 or judge-green; rotated out to make room
@@ -3316,6 +3437,40 @@ SELECT doc_id,
        CAST(round(score * 10000) AS BIGINT) AS score_e4
 FROM final ORDER BY score DESC, doc_id ASC LIMIT {_K}
 """,
+        # factor-pruned function_score (r5): identical output contract to
+        # the full-eval path, OR gate (nt >= 1) — pruning is invisible to
+        # the oracle by design
+        "function_score_pruned": f"""
+WITH tf AS ({_TF}),
+dl AS ({_DL}),
+stats AS (SELECT CAST(count(*) AS BIGINT) n_docs, avg(dl) avgdl FROM dl),
+qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'merge')),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) df FROM qtf GROUP BY term),
+scored AS (
+  SELECT q.doc_id, q.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * q.tf * ({CFG.k1} + 1.0)
+           / (q.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * l.dl / s.avgdl)) AS partial
+  FROM qtf q JOIN dfq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(partial) AS score,
+               count(DISTINCT term) AS nt FROM scored GROUP BY doc_id),
+boosted AS (
+  SELECT a.doc_id, a.score, ln(1.0 + d.n_chars) AS factor,
+         a.score * ln(1.0 + d.n_chars) AS final
+  FROM agg a JOIN documents d USING (doc_id) WHERE a.nt >= 1)
+SELECT doc_id,
+       CAST(round(score * 10000) AS BIGINT) AS score_e4,
+       CAST(round(factor * 10000) AS BIGINT) AS factor_e4,
+       CAST(round(final * 10000) AS BIGINT) AS final_e4
+FROM boosted ORDER BY final DESC, doc_id ASC LIMIT {_K}
+""",
+        # batch rescore (r5): per-query blocks identical to the
+        # search_rescore oracle, tagged and UNION'd
+        "rescore_batch": (
+            _rescore_block_sql("q_th", "table", "hash", 50, _K)
+            + "\nUNION ALL\n"
+            + _rescore_block_sql("q_sm", "spark", "merge", 50, _K)
+        ),
         # function score: BM25 AND(spark, merge) over the FULL match set
         # (no top-k truncation before the boost) x ln(1 + n_chars)
         "function_score": f"""
