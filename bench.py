@@ -343,6 +343,47 @@ def main() -> None:
             reps.append(time.monotonic() - t0)
         timings["q_related"] = round(min(reps), 3)
 
+        # --- r5 additions: factor-pruned function_score (artifact built
+        # once, then kernel-side early termination), batch second-phase
+        # rescore, index-time synonym search --------------------------
+        from fastcatsearch3_spark.plans.query import ParsedQuery as _PQ
+        from fastcatsearch3_spark.plans.search import (
+            build_factor_artifact,
+            function_score_topk,
+            rescore_many,
+        )
+
+        t0 = time.monotonic()
+        build_factor_artifact(
+            spark, store, docs.select("doc_id", "n_chars"), "n_chars",
+            "bench_pop",
+        )
+        timings["factor_artifact_build"] = round(time.monotonic() - t0, 3)
+        reps = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            function_score_topk(
+                spark, store, _PQ(terms=["spark", "merge"], op="OR"),
+                "bench_pop", k=10,
+            ).collect()
+            reps.append(time.monotonic() - t0)
+        timings["q_function_score_pruned"] = round(min(reps), 3)
+        reps = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            rescore_many(
+                spark, store_pos,
+                {
+                    "a": ("spark OR merge", '"spark merge"'),
+                    "b": ("table OR hash", '"table hash"'),
+                    "c": ("query OR window", '"query window"'),
+                    "d": ("scan OR line", '"scan line"'),
+                },
+                k=10, window=50,
+            ).collect()
+            reps.append(time.monotonic() - t0)
+        timings["q_rescore_batch4"] = round(min(reps), 3)
+
         # --- integrity audit (operators/fsck.py) -----------------------
         from fastcatsearch3_spark.operators.fsck import fsck_index
 
