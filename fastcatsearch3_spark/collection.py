@@ -192,6 +192,50 @@ class Collection:
             self.spark, self.store, query, fields_df, top_n=top_n, **kw
         )
 
+    def build_factor_artifact(
+        self, fields_df: DataFrame, factor_col: str, name: str, **kw
+    ) -> dict:
+        """Materialize a static rank factor for the pruned
+        function_score path (plans/search.build_factor_artifact)."""
+        from fastcatsearch3_spark.plans.search import build_factor_artifact
+
+        return build_factor_artifact(
+            self.spark, self.store, fields_df, factor_col, name, **kw
+        )
+
+    def function_score_topk(
+        self, query, factor_name: str, k: int = 10, **kw
+    ) -> DataFrame:
+        """function_score with factor-aware early termination over a
+        prebuilt artifact (plans/search.function_score_topk)."""
+        from fastcatsearch3_spark.plans.search import function_score_topk
+
+        return function_score_topk(
+            self.spark, self.store, query, factor_name, k=k, **kw
+        )
+
+    def rescore_many(
+        self, queries: dict, k: int = 10, window: int = 100, **kw
+    ) -> DataFrame:
+        """Batch two-phase ranking — N rescores in two shared kernel
+        passes (plans/search.rescore_many)."""
+        from fastcatsearch3_spark.plans.search import rescore_many
+
+        return rescore_many(
+            self.spark, self.store, queries, k=k, window=window, **kw
+        )
+
+    def function_score_many(
+        self, queries: dict, factor_name: str, k: int = 10, **kw
+    ) -> DataFrame:
+        """Batch factor-pruned function_score — one postings scan + one
+        factor cogroup for N queries (plans/search.function_score_many)."""
+        from fastcatsearch3_spark.plans.search import function_score_many
+
+        return function_score_many(
+            self.spark, self.store, queries, factor_name, k=k, **kw
+        )
+
     def explain(self, query, k: int = 10, doc_ids=None) -> DataFrame:
         """Per-(doc, term) BM25 partials for the query's top-k docs
         (plans/search.explain_scores — Lucene IndexSearcher.explain)."""
